@@ -1,0 +1,243 @@
+"""Per-feature value extraction + blocking-key derivation as column builders.
+
+Reproduces the reference's ``PIIRecord.feature_iter`` (P3, reference
+src/recordlinker/schemas/pii.py:467-568) and ``PIIRecord.blocking_keys``
+(P4, pii.py:570-621) as DataFrame columns: each feature becomes one
+``array<string>`` column (empty array == missing field), computed ONCE per
+record at ingest, never per candidate pair.
+
+``normalize_text`` (NFKD -> ASCII -> alnum -> lower) is the only piece
+that needs Python; it runs as a single Arrow-batched pandas UDF over
+array<string> columns. All structural extraction and the blocking-key
+substring rules are built-in Catalyst expressions.
+
+Note on IDENTIFIER blocking: the reference docs claim the authority is
+part of the key, but the code uses ``value[-4:]:type``
+(pii.py:584-587) — code wins, and we match the code.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from recordlinker_spark.config import BLOCKING_KEY_IDS
+from recordlinker_spark.functions.assets import CANONICAL_NAME_SUFFIXES
+from recordlinker_spark.functions.textnorm import normalize_text
+
+# Features whose extracted values pass through normalize_text.
+FEATURE_ATTRIBUTES = [
+    "BIRTHDATE",
+    "SEX",
+    "ADDRESS",
+    "CITY",
+    "STATE",
+    "ZIP",
+    "GIVEN_NAME",
+    "FIRST_NAME",
+    "LAST_NAME",
+    "NAME",
+    "RACE",
+    "TELECOM",
+    "PHONE",
+    "EMAIL",
+    "SUFFIX",
+    "COUNTY",
+    "IDENTIFIER",
+]
+
+
+from pyspark.sql import types as T
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def norm_text_array(arrs: pd.Series) -> pd.Series:
+    """Apply normalize_text element-wise over array<string> columns."""
+    return arrs.map(
+        lambda vals: None if vals is None else [normalize_text(v) for v in vals]
+    )
+
+
+def _nonempty(arr: Column) -> Column:
+    return F.filter(arr, lambda x: x.isNotNull() & (x != ""))
+
+
+def _first_name_raw(prepend_suffix: bool) -> Column:
+    """FIRST_NAME values pre-normalization (pii.py:516-529): first given
+    name per name group, optionally prefixed by a canonical suffix."""
+
+    def per_name(n: Column) -> Column:
+        suffix = F.try_element_at(n["suffix"], F.lit(1))
+        suffix = F.when(
+            suffix.isin(*sorted(CANONICAL_NAME_SUFFIXES)), suffix
+        ).otherwise(F.lit(""))
+        given = F.try_element_at(n["given"], F.lit(1))
+        if prepend_suffix:
+            return F.when(
+                given.isNotNull() & (given != ""), F.concat(suffix, given)
+            )
+        return F.when(given.isNotNull() & (given != ""), given)
+
+    return _nonempty(F.transform(F.col("name"), per_name))
+
+
+def feature_columns(records: DataFrame, identifier_types: list[str] | None = None) -> DataFrame:
+    """Add one ``feat_<ATTRIBUTE>`` array<string> column per feature.
+
+    :param identifier_types: extra ``feat_IDENTIFIER_<TYPE>`` columns for
+        identifier-suffix evaluators (e.g. ``IDENTIFIER:SS``).
+    """
+    name, address, telecom = F.col("name"), F.col("address"), F.col("telecom")
+
+    raw: dict[str, Column] = {}
+    # ---- scalar features
+    raw["BIRTHDATE"] = F.when(
+        F.col("birth_date").isNotNull(), F.array(F.col("birth_date"))
+    ).otherwise(F.array().cast("array<string>"))
+    raw["SEX"] = F.when(F.col("sex").isNotNull(), F.array(F.col("sex"))).otherwise(
+        F.array().cast("array<string>")
+    )
+    # ---- address-derived (ADDRESS/CITY/COUNTY normalized later)
+    raw["ADDRESS"] = _nonempty(F.transform(address, lambda a: F.try_element_at(a["line"], F.lit(1))))
+    raw["CITY"] = _nonempty(F.transform(address, lambda a: a["city"]))
+    raw["STATE"] = _nonempty(F.transform(address, lambda a: a["state"]))
+    raw["ZIP"] = _nonempty(
+        F.transform(address, lambda a: F.substring(a["postal_code"], 1, 5))
+    )
+    raw["COUNTY"] = _nonempty(F.transform(address, lambda a: a["county"]))
+    # ---- name-derived
+    raw["GIVEN_NAME"] = _nonempty(
+        F.transform(name, lambda n: F.array_join(n["given"], ""))
+    )
+    raw["FIRST_NAME"] = _first_name_raw(prepend_suffix=True)
+    raw["LAST_NAME"] = _nonempty(F.transform(name, lambda n: n["family"]))
+    # NAME concatenates first given + family unconditionally (pii.py:534-536)
+    raw["NAME"] = F.transform(
+        name,
+        lambda n: F.concat(
+            F.coalesce(F.try_element_at(n["given"], F.lit(1)), F.lit("")),
+            F.coalesce(n["family"], F.lit("")),
+        ),
+    )
+    raw["SUFFIX"] = _nonempty(F.flatten(F.transform(name, lambda n: n["suffix"])))
+    # ---- race / telecom
+    raw["RACE"] = F.filter(
+        F.col("race"), lambda r: ~r.isin("UNKNOWN", "ASKED_UNKNOWN")
+    )
+    raw["TELECOM"] = F.transform(telecom, lambda t: t["value"])  # unconditional
+    raw["PHONE"] = F.transform(
+        F.filter(telecom, lambda t: t["system"] == "phone"), lambda t: t["value"]
+    )
+    raw["EMAIL"] = F.transform(
+        F.filter(telecom, lambda t: t["system"] == "email"), lambda t: t["value"]
+    )
+
+    # normalize_text application per pii.py:467-568
+    normalized = {
+        "ADDRESS",
+        "CITY",
+        "GIVEN_NAME",
+        "FIRST_NAME",
+        "LAST_NAME",
+        "NAME",
+        "SUFFIX",
+        "COUNTY",
+        "PHONE",
+    }
+    cols = [records["*"]]
+    for attr in FEATURE_ATTRIBUTES:
+        if attr == "IDENTIFIER":
+            continue
+        col = raw[attr]
+        if attr in normalized:
+            col = norm_text_array(col)
+        elif attr == "TELECOM":
+            # phone telecoms are normalized, others pass through (pii.py:541-546)
+            phones = norm_text_array(
+                F.transform(
+                    F.filter(telecom, lambda t: t["system"] == "phone"),
+                    lambda t: t["value"],
+                )
+            )
+            others = F.transform(
+                F.filter(
+                    telecom, lambda t: (t["system"].isNull()) | (t["system"] != "phone")
+                ),
+                lambda t: t["value"],
+            )
+            col = F.concat(phones, others)
+        cols.append(col.alias(f"feat_{attr}"))
+
+    # IDENTIFIER composite: norm(value):norm(authority):type (pii.py:564-568)
+    idents = F.col("identifiers")
+    ident_composite = F.zip_with(
+        norm_text_array(F.transform(idents, lambda i: i["value"])),
+        F.zip_with(
+            norm_text_array(
+                F.transform(idents, lambda i: F.coalesce(i["authority"], F.lit("")))
+            ),
+            F.transform(idents, lambda i: i["type"]),
+            lambda auth, typ: F.concat(auth, F.lit(":"), typ),
+        ),
+        lambda val, rest: F.concat(val, F.lit(":"), rest),
+    )
+    cols.append(ident_composite.alias("feat_IDENTIFIER"))
+    for typ in identifier_types or []:
+        cols.append(
+            F.filter(
+                ident_composite,
+                lambda v: F.try_element_at(F.split(v, ":"), F.lit(3)) == typ,
+            ).alias(f"feat_IDENTIFIER_{typ}")
+        )
+    return records.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# blocking keys (P4, pii.py:570-621)
+# --------------------------------------------------------------------------
+
+BLOCKING_KEY_EXPRS: dict[str, str] = {
+    # key -> SQL expression over the feat_* columns
+    "BIRTHDATE": "feat_BIRTHDATE",
+    "IDENTIFIER": (
+        "transform(feat_IDENTIFIER, v -> concat(right(try_element_at(split(v, ':'), 1), 4), ':', try_element_at(split(v, ':'), 3)))"
+    ),
+    "SEX": "feat_SEX",
+    "ZIP": "feat_ZIP",
+    "FIRST_NAME": "transform(feat_FIRST_NAME, x -> left(x, 4))",
+    "LAST_NAME": "transform(feat_LAST_NAME, x -> left(x, 4))",
+    "ADDRESS": "transform(feat_ADDRESS, x -> left(x, 4))",
+    "PHONE": "transform(feat_PHONE, x -> right(x, 4))",
+    "EMAIL": "transform(feat_EMAIL, x -> left(x, 4))",
+}
+
+
+def blocking_key_columns(feats: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Add one ``bk_<KEY>`` array<string> (distinct values) per blocking key."""
+    keys = keys or list(BLOCKING_KEY_EXPRS)
+    cols = [feats["*"]]
+    for key in keys:
+        cols.append(
+            F.array_distinct(F.expr(BLOCKING_KEY_EXPRS[key])).alias(f"bk_{key}")
+        )
+    return feats.select(*cols)
+
+
+def explode_blocking_values(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Materialize (record_id, key_id, value) rows — the Spark analog of the
+    reference's mpi_blocking_value table (S5, mpi_service.py:314-350)."""
+    pieces = []
+    for key in keys:
+        pieces.append(
+            df.select(
+                "record_id",
+                F.lit(BLOCKING_KEY_IDS[key]).alias("key_id"),
+                F.explode(F.col(f"bk_{key}")).alias("value"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

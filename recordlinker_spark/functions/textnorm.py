@@ -1,0 +1,191 @@
+"""Pure-Python text normalization + string-similarity kernels.
+
+These reproduce the scalar semantics the reference engine gets from
+``recordlinker.utils.normalize.normalize_text`` (reference:
+src/recordlinker/utils/normalize.py:4-11) and from the ``rapidfuzz``
+``normalized_similarity`` measures used by its fuzzy comparators
+(reference: src/recordlinker/linking/matchers.py:20,140-150).
+
+rapidfuzz is not a dependency here: the kernels are implemented from the
+published metric definitions and verified against the reference's own
+unit-test values (tests/unit/linking/test_link.py:41,61,109-111).
+
+They are called from Arrow-batched pandas UDFs (see scoring.py), never
+per-row from the driver, so plain Python bodies are acceptable: the
+batching amortizes invocation overhead and the inner loops are O(len^2)
+on short person-name-sized strings.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+
+def normalize_text(text: str) -> str:
+    """NFKD-decompose, drop non-ASCII, keep only alphanumerics, lowercase.
+
+    Matches reference utils/normalize.py:4-11 exactly (including dropping
+    internal whitespace).
+    """
+    text = unicodedata.normalize("NFKD", text).encode("ASCII", "ignore").decode("ASCII")
+    return "".join(c.lower() for c in text if c.isalnum())
+
+
+def levenshtein_distance(s1: str, s2: str) -> int:
+    """Classic edit distance (insert/delete/substitute, unit costs)."""
+    if s1 == s2:
+        return 0
+    if not s1:
+        return len(s2)
+    if not s2:
+        return len(s1)
+    if len(s1) > len(s2):
+        s1, s2 = s2, s1
+    prev = list(range(len(s1) + 1))
+    for j, c2 in enumerate(s2, 1):
+        cur = [j]
+        for i, c1 in enumerate(s1, 1):
+            cost = 0 if c1 == c2 else 1
+            cur.append(min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + cost))
+        prev = cur
+    return prev[-1]
+
+
+def damerau_levenshtein_distance(s1: str, s2: str) -> int:
+    """Unrestricted Damerau-Levenshtein (true transpositions).
+
+    Matches rapidfuzz.distance.DamerauLevenshtein (and DuckDB's
+    damerau_levenshtein): e.g. distance('ca','abc') == 2.
+    """
+    if s1 == s2:
+        return 0
+    if not s1:
+        return len(s2)
+    if not s2:
+        return len(s1)
+    maxdist = len(s1) + len(s2)
+    alphabet: dict[str, int] = {}
+    # d has an extra top row/column guard (classic Lowrance-Wagner DP)
+    d = [[0] * (len(s2) + 2) for _ in range(len(s1) + 2)]
+    d[0][0] = maxdist
+    for i in range(len(s1) + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(len(s2) + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, len(s1) + 1):
+        db = 0
+        for j in range(1, len(s2) + 1):
+            k = alphabet.get(s2[j - 1], 0)
+            l = db
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitution
+                d[i + 1][j] + 1,  # insertion
+                d[i][j + 1] + 1,  # deletion
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transposition
+            )
+        alphabet[s1[i - 1]] = i
+    return d[len(s1) + 1][len(s2) + 1]
+
+
+def _jaro_similarity(s1: str, s2: str) -> float:
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 and len2 == 0:
+        return 1.0
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    s1_flags = [False] * len1
+    s2_flags = [False] * len2
+    matches = 0
+    for i, c1 in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not s2_flags[j] and s2[j] == c1:
+                s1_flags[i] = True
+                s2_flags[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(len1):
+        if s1_flags[i]:
+            while not s2_flags[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                transpositions += 1
+            j += 1
+    transpositions //= 2
+    return (
+        matches / len1 + matches / len2 + (matches - transpositions) / matches
+    ) / 3.0
+
+
+def jaro_winkler_similarity(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Jaro-Winkler similarity matching rapidfuzz.distance.JaroWinkler.
+
+    Winkler boost applied when jaro > 0.7, common prefix capped at 4 chars.
+    Verified values: ('John','Jon') -> 0.93333..., used by the reference
+    test expecting score 9.33 at log-odds 10 (test_link.py:61).
+    """
+    jaro = _jaro_similarity(s1, s2)
+    if jaro > 0.7:
+        prefix = 0
+        for c1, c2 in zip(s1, s2):
+            if c1 != c2 or prefix == 4:
+                break
+            prefix += 1
+        jaro += prefix * prefix_weight * (1.0 - jaro)
+    return jaro
+
+
+def levenshtein_similarity(s1: str, s2: str) -> float:
+    """rapidfuzz Levenshtein.normalized_similarity: 1 - dist/max(len)."""
+    m = max(len(s1), len(s2))
+    if m == 0:
+        return 1.0
+    return 1.0 - levenshtein_distance(s1, s2) / m
+
+
+def damerau_levenshtein_similarity(s1: str, s2: str) -> float:
+    """rapidfuzz DamerauLevenshtein.normalized_similarity."""
+    m = max(len(s1), len(s2))
+    if m == 0:
+        return 1.0
+    return 1.0 - damerau_levenshtein_distance(s1, s2) / m
+
+
+SIMILARITY_FUNCS = {
+    "JaroWinkler": jaro_winkler_similarity,
+    "Levenshtein": levenshtein_similarity,
+    "DamerauLevenshtein": damerau_levenshtein_similarity,
+}
+
+
+def max_similarity(values_a: list[str], values_b: list[str], measure: str) -> float:
+    """Max normalized similarity over the cross product of two value lists.
+
+    Mirrors the inner loop of compare_probabilistic_fuzzy_match
+    (reference matchers.py:140-146). Callers handle the empty/missing case.
+    """
+    func = SIMILARITY_FUNCS[measure]
+    best = 0.0
+    for a in values_a:
+        for b in values_b:
+            if a == b:
+                return 1.0  # early exit: cannot beat exact equality
+            s = func(a, b)
+            if s > best:
+                best = s
+    return best
