@@ -6,10 +6,16 @@ src/recordlinker/schemas/pii.py:467-568) and ``PIIRecord.blocking_keys``
 ``array<string>`` column (empty array == missing field), computed ONCE per
 record at ingest, never per candidate pair.
 
-``normalize_text`` (NFKD -> ASCII -> alnum -> lower) is the only piece
-that needs Python; it runs as a single Arrow-batched pandas UDF over
-array<string> columns. All structural extraction and the blocking-key
-substring rules are built-in Catalyst expressions.
+``normalize_text`` (NFKD -> ASCII -> alnum -> lower) runs as a pure
+Catalyst expression: one ``translate`` over a precomputed BMP table
+for single-char NFKD decompositions (see textnorm.nfkd_translate_table)
+followed by ``regexp_replace('[^0-9A-Za-z]','')`` + ``lower``.  A
+pandas-UDF variant (``norm_text_array``) is kept for exact-unicode
+parity testing, but the distributed path is UDF-free: this keeps the
+whole feature/blocking projection inside whole-stage codegen AND
+avoids a Spark 4.1 limitation where a Python UDF inlined into a
+pushed-down filter condition under a higher-order function argument
+fails extraction ("Cannot evaluate expression: norm_text_array(...)").
 
 Note on IDENTIFIER blocking: the reference docs claim the authority is
 part of the key, but the code uses ``value[-4:]:type``
@@ -25,7 +31,10 @@ from pyspark.sql.functions import pandas_udf
 
 from recordlinker_spark.config import BLOCKING_KEY_IDS
 from recordlinker_spark.functions.assets import CANONICAL_NAME_SUFFIXES
-from recordlinker_spark.functions.textnorm import normalize_text
+from recordlinker_spark.functions.textnorm import (
+    nfkd_translate_table,
+    normalize_text,
+)
 
 # Features whose extracted values pass through normalize_text.
 FEATURE_ATTRIBUTES = [
@@ -54,10 +63,26 @@ from pyspark.sql import types as T
 
 @pandas_udf(T.ArrayType(T.StringType()))
 def norm_text_array(arrs: pd.Series) -> pd.Series:
-    """Apply normalize_text element-wise over array<string> columns."""
+    """Apply normalize_text element-wise over array<string> columns.
+
+    Parity-reference implementation only — the pipeline uses
+    :func:`norm_text_expr` (codegen) instead."""
     return arrs.map(
         lambda vals: None if vals is None else [normalize_text(v) for v in vals]
     )
+
+
+def norm_text_expr(col: Column) -> Column:
+    """normalize_text as a whole-stage-codegen expression (see module
+    docstring for the documented divergence on 273 exotic codepoints)."""
+    src, dst, _ = nfkd_translate_table()
+    return F.lower(
+        F.regexp_replace(F.translate(col, src, dst), "[^0-9A-Za-z]", "")
+    )
+
+
+def norm_text_array_expr(arr: Column) -> Column:
+    return F.transform(arr, norm_text_expr)
 
 
 def _nonempty(arr: Column) -> Column:
@@ -152,10 +177,10 @@ def feature_columns(records: DataFrame, identifier_types: list[str] | None = Non
             continue
         col = raw[attr]
         if attr in normalized:
-            col = norm_text_array(col)
+            col = norm_text_array_expr(col)
         elif attr == "TELECOM":
             # phone telecoms are normalized, others pass through (pii.py:541-546)
-            phones = norm_text_array(
+            phones = norm_text_array_expr(
                 F.transform(
                     F.filter(telecom, lambda t: t["system"] == "phone"),
                     lambda t: t["value"],
@@ -173,9 +198,9 @@ def feature_columns(records: DataFrame, identifier_types: list[str] | None = Non
     # IDENTIFIER composite: norm(value):norm(authority):type (pii.py:564-568)
     idents = F.col("identifiers")
     ident_composite = F.zip_with(
-        norm_text_array(F.transform(idents, lambda i: i["value"])),
+        norm_text_array_expr(F.transform(idents, lambda i: i["value"])),
         F.zip_with(
-            norm_text_array(
+            norm_text_array_expr(
                 F.transform(idents, lambda i: F.coalesce(i["authority"], F.lit("")))
             ),
             F.transform(idents, lambda i: i["type"]),

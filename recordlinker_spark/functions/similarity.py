@@ -1,0 +1,77 @@
+"""Distributed entry points for the string-similarity kernels (C2).
+
+The reference scores fuzzy feature agreement with
+``rapidfuzz.distance.<Measure>.normalized_similarity``
+(reference: src/recordlinker/linking/matchers.py:98-150).  rapidfuzz
+is not available here; the scalar kernels live in
+functions/textnorm.py (implemented from the published metric
+definitions, verified against DuckDB's jaro_winkler_similarity /
+levenshtein / damerau_levenshtein on random corpora and against the
+reference's own unit-test values).
+
+This module wraps them for Spark: :func:`max_similarity_udf` is an
+Arrow-batched pandas UDF over two ``array<string>`` columns returning
+the max similarity over the value cross-product — exactly the
+reference's double loop in ``compare_probabilistic_fuzzy_match``
+(matchers.py:140-147), with per-batch memoization (blocking makes the
+same value pairs recur across candidate rows).  This is the ONLY
+Python in the pair-scoring hot path; everything around it
+(thresholding, log-odds weighting, missingness) is codegen'd.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from recordlinker_spark.functions.textnorm import (
+    SIMILARITY_FUNCS,
+    damerau_levenshtein_similarity,
+    jaro_winkler_similarity,
+    levenshtein_similarity,
+    max_similarity,
+)
+
+__all__ = [
+    "jaro_winkler_similarity",
+    "levenshtein_similarity",
+    "damerau_levenshtein_similarity",
+    "max_similarity",
+    "max_similarity_udf",
+]
+
+
+@functools.lru_cache(maxsize=8)
+def max_similarity_udf(measure: str):
+    """Arrow-batched pandas UDF: (array<string>, array<string>) -> double
+    max cross-product similarity; NULL when either side is empty."""
+    fn = SIMILARITY_FUNCS[measure]
+
+    @pandas_udf(T.DoubleType())
+    def _udf(left: pd.Series, right: pd.Series) -> pd.Series:
+        cache: dict[tuple[str, str], float] = {}
+
+        def one(pair):
+            vals_l, vals_r = pair
+            if vals_l is None or vals_r is None or len(vals_l) == 0 or len(vals_r) == 0:
+                return None
+            best = 0.0
+            for x in vals_l:
+                for y in vals_r:
+                    if x == y:
+                        return 1.0  # cross-product max cannot beat equality
+                    key = (x, y) if x <= y else (y, x)  # all measures symmetric
+                    s = cache.get(key)
+                    if s is None:
+                        s = fn(x, y)
+                        cache[key] = s
+                    if s > best:
+                        best = s
+            return best
+
+        return pd.Series(map(one, zip(left, right)), dtype="float64")
+
+    return _udf

@@ -18,6 +18,7 @@ on short person-name-sized strings.
 
 from __future__ import annotations
 
+import functools
 import unicodedata
 
 
@@ -29,6 +30,33 @@ def normalize_text(text: str) -> str:
     """
     text = unicodedata.normalize("NFKD", text).encode("ASCII", "ignore").decode("ASCII")
     return "".join(c.lower() for c in text if c.isalnum())
+
+
+@functools.lru_cache(maxsize=1)
+def nfkd_translate_table() -> tuple[str, str, frozenset[str]]:
+    """(src, dst, divergent) for expressing :func:`normalize_text` as a
+    Catalyst ``translate`` + ``regexp_replace`` + ``lower`` chain.
+
+    ``src[i]`` -> ``dst[i]`` covers every BMP codepoint whose NFKD
+    decomposition filters to exactly ONE ASCII alphanumeric (all
+    accented Latin: 836 codepoints).  ``divergent`` is the set of
+    codepoints that decompose to >= 2 alphanumerics (fractions ¼->14,
+    ligatures ĳ->ij, Roman numerals — 273 exotic codepoints): the
+    column expression DROPS those where the Python reference keeps the
+    decomposition.  They cannot appear in person PII emitted by any of
+    our generators and are excluded from the parity property test.
+    """
+    src, dst, divergent = [], [], []
+    for cp in range(0x80, 0x10000):
+        c = chr(cp)
+        d = unicodedata.normalize("NFKD", c).encode("ascii", "ignore").decode()
+        filt = "".join(x for x in d if x.isalnum())
+        if len(filt) == 1:
+            src.append(c)
+            dst.append(filt)
+        elif len(filt) >= 2:
+            divergent.append(c)
+    return "".join(src), "".join(dst), frozenset(divergent)
 
 
 def levenshtein_distance(s1: str, s2: str) -> int:

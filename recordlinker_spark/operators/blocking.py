@@ -1,0 +1,247 @@
+"""Candidate-pair generation: the blocking join family (J1-J4).
+
+Reproduces the reference's ``BlockData.get``
+(reference: src/recordlinker/database/mpi_service.py:114-180) set-at-a-time:
+
+* J1 multi-key conjunctive blocking: a patient is a candidate iff for
+  EVERY blocking key the incoming record has values for, the patient
+  has an overlapping value (mpi_service.py:134-176, one self-join of
+  the blocking-value table per key).
+* J2 missingness gate: keys with no incoming values are skipped; if
+  the skipped keys' log-odds exceed ``max_missing_allowed_proportion``
+  of the pass total (or the total is 0), the record produces no
+  candidates for the pass (mpi_service.py:46-70,147-157).
+* J3 cluster expansion: candidates expand to ALL patients of the
+  matched Person clusters (mpi_service.py:175-178).
+* J4 agreement filter: expanded patients whose own blocking values
+  conflict with the incoming record are dropped; a key agrees when
+  either side is missing it or the value sets overlap
+  (mpi_service.py:72-111).
+
+Spark-first design, chosen for 100 TB scale
+-------------------------------------------
+A naive translation would join a long-format ``(key, value)`` table
+once per key and intersect — but low-cardinality keys (SEX!) make
+per-key joins quadratically hot.  Because J1 is a *conjunction*, we
+instead join once per distinct present-key *subset* on a composite
+key: the cross-product of the record's values over its present keys,
+concatenated.  Selectivity is then the product of the key
+selectivities (e.g. birthdate x identifier-last4 x sex), never a
+single hot key.  The number of distinct subsets is bounded by
+2^|keys| (<= 16 for every shipped config) and in practice 1-3, so the
+driver loop is tiny; each iteration is one equi-join Catalyst plans
+freely (broadcast when the incoming batch is small, shuffle-hash
+otherwise, AQE skew splitting on).
+
+Residual skew (one birthdate shared by thousands of records) is
+handled *explicitly* on top of AQE: a block-size census over the MPI
+side finds composite values hotter than ``salt_threshold``; those
+join through a salted path (MPI rows get ``pmod(xxhash64(id), n)``
+salts, probe rows replicate over all salts), the rest through the
+plain path.  Pathological blocks larger than ``max_block_size`` are
+dropped and counted (the |block|^2 pair blowup is inherent to the
+algorithm, not the engine — capping is the standard mitigation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from itertools import combinations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from recordlinker_spark.config import Algorithm, AlgorithmPass
+
+SEP = "\x1f"  # composite-key separator; blocking values are <=20 printable chars
+
+
+@dataclasses.dataclass
+class BlockingStats:
+    """Skew-handling census results, for metrics checkpointing (A9)."""
+
+    pass_label: str
+    hot_values: int = 0
+    capped_values: int = 0
+
+
+def _bk(key: str) -> Column:
+    return F.col(f"bk_{key}")
+
+
+def eligible_subsets(keys: tuple[str, ...]) -> list[tuple[str, ...]]:
+    """All non-empty subsets of the pass keys, as sorted tuples."""
+    out: list[tuple[str, ...]] = []
+    for r in range(1, len(keys) + 1):
+        out.extend(combinations(keys, r))
+    return out
+
+
+def missingness_filter(
+    df: DataFrame, algorithm: Algorithm, algorithm_pass: AlgorithmPass
+) -> DataFrame:
+    """J2: drop records whose missing blocking keys carry too much
+    log-odds weight (mpi_service.py:46-70). Adds ``_subset``: the
+    comma-joined sorted list of present keys."""
+    ctx = algorithm.context
+    keys = algorithm_pass.blocking_keys
+    odds = {k: ctx.get_log_odds(k) or 0.0 for k in keys}
+    total = sum(odds.values())
+    if total == 0:
+        return df.filter(F.lit(False)).withColumn("_subset", F.lit(""))
+    missing = None
+    for k in keys:
+        term = F.when(F.size(_bk(k)) <= 0, F.lit(odds[k])).otherwise(F.lit(0.0))
+        missing = term if missing is None else missing + term
+    present = F.concat_ws(
+        ",", F.array_compact(F.array(*[
+            F.when(F.size(_bk(k)) > 0, F.lit(k)) for k in sorted(keys)
+        ]))
+    )
+    return (
+        df.withColumn("_missing_odds", missing)
+        .filter(
+            (F.col("_missing_odds") / F.lit(total))
+            <= F.lit(ctx.max_missing_allowed_proportion)
+        )
+        .withColumn("_subset", present)
+        .drop("_missing_odds")
+    )
+
+
+def composite_values(df: DataFrame, subset: tuple[str, ...]) -> DataFrame:
+    """Explode the cross-product of blocking values over ``subset`` into
+    a ``_block`` composite-key column (one row per combination)."""
+    out = df
+    for k in subset:
+        out = out.filter(F.size(_bk(k)) > 0).withColumn(
+            f"_v_{k}", F.explode(_bk(k))
+        )
+    block = F.concat_ws(SEP, *[F.col(f"_v_{k}") for k in subset])
+    return out.withColumn("_block", block).drop(*[f"_v_{k}" for k in subset])
+
+
+def blocked_persons(
+    incoming: DataFrame,
+    mpi: DataFrame,
+    algorithm: Algorithm,
+    algorithm_pass: AlgorithmPass,
+    salt_threshold: int = 5000,
+    num_salts: int = 32,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """J1+J2: distinct ``(record_id_l, person_id)`` candidate clusters.
+
+    :param incoming: records with ``record_id`` + ``bk_<KEY>`` columns
+        (computed from the skip-cleaned record, link.py:224).
+    :param mpi: patients with ``record_id``, ``person_id`` + ``bk_<KEY>``
+        (raw, as stored at insert time, mpi_service.py:314-350).
+    """
+    keys = algorithm_pass.blocking_keys
+    inc = missingness_filter(incoming, algorithm, algorithm_pass)
+    inc = inc.select("record_id", "_subset", *[f"bk_{k}" for k in keys])
+
+    subsets = [
+        tuple(s["_subset"].split(","))
+        for s in inc.select("_subset").distinct().collect()
+        if s["_subset"]
+    ]
+    if not subsets:
+        return incoming.sparkSession.createDataFrame(
+            [], "record_id_l string, person_id string"
+        )
+
+    mpi_bk = mpi.select("record_id", "person_id", *[f"bk_{k}" for k in keys])
+    # a census can't find a hot block in an MPI smaller than the
+    # threshold — skip the extra pass entirely (tests/replay fast path)
+    census_needed = mpi_bk.count() > salt_threshold
+
+    pieces: list[DataFrame] = []
+    for subset in subsets:
+        probe = composite_values(
+            inc.filter(F.col("_subset") == ",".join(subset)), subset
+        ).select(F.col("record_id").alias("record_id_l"), "_block")
+        build = composite_values(mpi_bk, subset).select("person_id", "_block")
+
+        # ---- explicit skew handling: census -> hot/cold split + salting
+        hot_rows = []
+        if census_needed:
+            census = build.groupBy("_block").count()
+            hot_rows = (
+                census.filter(F.col("count") > salt_threshold)
+                .orderBy(F.desc("count"))
+                .limit(1024)
+                .collect()
+            )
+        capped = {
+            r["_block"]
+            for r in hot_rows
+            if max_block_size is not None and r["count"] > max_block_size
+        }
+        hot = [r["_block"] for r in hot_rows if r["_block"] not in capped]
+        if capped:
+            probe = probe.filter(~F.col("_block").isin(*capped))
+            build = build.filter(~F.col("_block").isin(*capped))
+
+        if hot:
+            cold = probe.filter(~F.col("_block").isin(*hot)).join(
+                build.filter(~F.col("_block").isin(*hot)), "_block"
+            )
+            salt = F.pmod(F.xxhash64("person_id"), F.lit(num_salts)).cast("int")
+            hot_build = build.filter(F.col("_block").isin(*hot)).withColumn(
+                "_salt", salt
+            )
+            hot_probe = probe.filter(F.col("_block").isin(*hot)).withColumn(
+                "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+            )
+            salted = hot_probe.join(hot_build, ["_block", "_salt"]).drop("_salt")
+            matched = cold.unionByName(salted)
+        else:
+            matched = probe.join(build, "_block")
+        pieces.append(matched.select("record_id_l", "person_id"))
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["record_id_l", "person_id"])
+
+
+def candidate_pairs(
+    incoming: DataFrame,
+    mpi: DataFrame,
+    algorithm: Algorithm,
+    algorithm_pass: AlgorithmPass,
+    **block_kwargs,
+) -> DataFrame:
+    """J1-J4 end to end: one row per (incoming record, cluster member).
+
+    Returns columns ``record_id_l``, ``person_id``, ``record_id_r`` —
+    feature/score columns are joined on by the scoring stage.
+    """
+    keys = algorithm_pass.blocking_keys
+    persons = blocked_persons(incoming, mpi, algorithm, algorithm_pass, **block_kwargs)
+
+    # J3: expand to all cluster members (semi-join shape; person dim is
+    # the small side after DISTINCT, so Catalyst/AQE can broadcast it)
+    members = persons.join(
+        mpi.select(
+            F.col("record_id").alias("record_id_r"),
+            "person_id",
+            *[F.col(f"bk_{k}").alias(f"bk_r_{k}") for k in keys],
+        ),
+        "person_id",
+    )
+
+    # J4: agreement filter against the incoming record's blocking values
+    inc_bk = incoming.select(
+        F.col("record_id").alias("record_id_l"),
+        *[F.col(f"bk_{k}").alias(f"bk_l_{k}") for k in keys],
+    )
+    pairs = members.join(inc_bk, "record_id_l")
+    agree = F.lit(True)
+    for k in keys:
+        l, r = F.col(f"bk_l_{k}"), F.col(f"bk_r_{k}")
+        agree = agree & (
+            (F.size(l) <= 0) | (F.size(r) <= 0) | F.arrays_overlap(l, r)
+        )
+    return pairs.filter(agree).select("record_id_l", "person_id", "record_id_r")

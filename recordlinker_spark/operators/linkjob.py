@@ -1,0 +1,171 @@
+"""The batch link job: §3.1 of the survey, set-at-a-time.
+
+Re-expresses the reference's ``link_record_against_mpi``
+(reference: src/recordlinker/linking/link.py:184-381) as one Spark
+job over a whole batch of incoming records against an MPI table:
+
+    documents -> pii records -> [skip-scrub] -> features/blocking keys
+      -> per pass: candidate pairs (J1-J4) -> pair scores (C1-C4)
+         -> cluster medians/RMS/grade (A1-A3)
+      -> cross-pass fold (A4) -> decision (A5) -> MPI update
+
+Faithful asymmetries preserved from the reference:
+
+* blocking keys for the incoming side come from the skip-CLEANED
+  record (link.py:224), the MPI side's from the RAW record as stored
+  at insert time (mpi_service.py:183-221,314-350);
+* scoring features for the incoming side come from the RAW record
+  (link.py:260-267 passes ``record``, not ``cleaned_record``), the MPI
+  side's from the CLEANED record (link.py:245-247);
+* patients with a ``possible`` final grade persist with a NULL
+  person_id (pending review) and are invisible to future blocking
+  (link.py:325-341 leaves matched_person None).
+
+Batch semantics: every record in the incoming batch is linked against
+the *pre-existing* MPI (order-independent within the batch), matching
+the reference's micro-batch deployment. For reference-exact sequential
+semantics on small fixtures see plans/replay.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from recordlinker_spark.config import Algorithm
+from recordlinker_spark.functions.features import (
+    blocking_key_columns,
+    feature_columns,
+)
+from recordlinker_spark.operators.blocking import candidate_pairs
+from recordlinker_spark.operators.decide import cluster_scores  # noqa: F401 (re-export)
+from recordlinker_spark.operators.decide import decide, fold_passes
+from recordlinker_spark.operators.scoring import (
+    attach_pair_features,
+    feature_col,
+    score_pairs,
+)
+from recordlinker_spark.operators.skipvalues import remove_skip_values
+
+PII_COLS = [
+    "record_id",
+    "external_id",
+    "birth_date",
+    "sex",
+    "name",
+    "address",
+    "telecom",
+    "race",
+    "identifiers",
+]
+
+
+@dataclasses.dataclass
+class LinkOutput:
+    decisions: DataFrame  # record_id, final_grade, person_id, best_rms, pass
+    results: DataFrame  # reported LinkResults (certain/possible clusters)
+    new_patients: DataFrame  # incoming records with assigned person_id + spans
+    pair_scores: DataFrame | None = None  # per-pass scored pairs (debug/tuning)
+
+
+def _identifier_types(algorithm: Algorithm) -> list[str]:
+    return sorted(
+        {
+            e.suffix
+            for p in algorithm.passes
+            for e in p.evaluators
+            if e.suffix is not None
+        }
+    )
+
+
+def _all_blocking_keys(algorithm: Algorithm) -> list[str]:
+    seen: list[str] = []
+    for p in algorithm.passes:
+        for k in p.blocking_keys:
+            if k not in seen:
+                seen.append(k)
+    return seen
+
+
+def prepare_incoming(records: DataFrame, algorithm: Algorithm) -> tuple[DataFrame, DataFrame]:
+    """(scoring features from RAW record, blocking keys from CLEANED record)."""
+    id_types = _identifier_types(algorithm)
+    keys = _all_blocking_keys(algorithm)
+    feats_raw = feature_columns(records.select(*PII_COLS), id_types)
+    cleaned = remove_skip_values(records.select(*PII_COLS), algorithm.context.skip_values)
+    bk_cleaned = blocking_key_columns(feature_columns(cleaned), keys).select(
+        "record_id", *[f"bk_{k}" for k in keys]
+    )
+    return feats_raw, bk_cleaned
+
+
+def prepare_mpi(patients: DataFrame, algorithm: Algorithm) -> tuple[DataFrame, DataFrame]:
+    """(scoring features from CLEANED record, blocking keys from RAW record).
+
+    :param patients: pii columns + ``person_id``.
+    """
+    id_types = _identifier_types(algorithm)
+    keys = _all_blocking_keys(algorithm)
+    linkable = patients.filter(F.col("person_id").isNotNull())
+    cleaned = remove_skip_values(
+        linkable.select(*PII_COLS, "person_id"), algorithm.context.skip_values
+    )
+    feats_cleaned = feature_columns(cleaned.select(*PII_COLS), id_types)
+    bk_raw = blocking_key_columns(
+        feature_columns(linkable.select(*PII_COLS)), keys
+    ).select("record_id", *[f"bk_{k}" for k in keys])
+    return feats_cleaned, bk_raw.join(
+        linkable.select("record_id", "person_id"), "record_id"
+    )
+
+
+def link_batch(
+    incoming: DataFrame,
+    mpi_patients: DataFrame,
+    algorithm: Algorithm,
+    keep_pair_scores: bool = False,
+    **block_kwargs,
+) -> LinkOutput:
+    """Link a batch of incoming PII records against the MPI.
+
+    :param incoming: output of sources.ingest.parse_documents (pii
+        columns + untouched ``spans``).
+    :param mpi_patients: pii columns + ``person_id`` (NULL = pending
+        review, excluded from blocking).
+    """
+    inc_feats, inc_bk = prepare_incoming(incoming, algorithm)
+    mpi_feats, mpi_bk = prepare_mpi(mpi_patients, algorithm)
+
+    per_pass: list[DataFrame] = []
+    all_scored: DataFrame | None = None
+    for algorithm_pass in algorithm.passes:
+        pairs = candidate_pairs(inc_bk, mpi_bk, algorithm, algorithm_pass, **block_kwargs)
+        with_feats = attach_pair_features(pairs, inc_feats, mpi_feats, algorithm_pass)
+        scored = score_pairs(with_feats, algorithm, algorithm_pass)
+        if keep_pair_scores:
+            labeled = scored.withColumn(
+                "pass_label", F.lit(algorithm_pass.resolved_label)
+            )
+            sel = labeled.select(
+                "record_id_l", "person_id", "record_id_r", "pass_label", "score"
+            )
+            all_scored = sel if all_scored is None else all_scored.unionByName(sel)
+        per_pass.append(cluster_scores(scored, algorithm, algorithm_pass))
+
+    folded = fold_passes(per_pass)
+    decisions, results = decide(
+        folded, incoming, algorithm.context.include_multiple_matches
+    )
+
+    new_patients = incoming.join(
+        decisions.select("record_id", "person_id"), "record_id"
+    )
+    return LinkOutput(
+        decisions=decisions,
+        results=results,
+        new_patients=new_patients,
+        pair_scores=all_scored,
+    )

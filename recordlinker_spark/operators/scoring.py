@@ -1,0 +1,143 @@
+"""Pairwise log-odds scoring (C1-C4) as column builders over pair rows.
+
+Reproduces the reference's evaluator dispatch + ``compare``
+(reference: src/recordlinker/linking/link.py:96-168) and the two
+matcher functions (linking/matchers.py:49-150) set-at-a-time:
+
+* C1 exact: any equality across the value cross-product earns the full
+  ``log_odds`` points — ``arrays_overlap``, pure codegen.
+* C2 fuzzy: max normalized similarity across the cross-product; below
+  the threshold earns 0, at/above earns ``sim * log_odds`` — the
+  similarity is the only Python (Arrow-batched pandas UDF, see
+  functions/similarity.py), the rest is codegen.
+* missing rule (both): either side empty ->
+  ``missing_field_points_proportion * log_odds`` and the field's odds
+  count toward the missing tally (matchers.py:85-88,135-138).
+* C4 gate: if the missing tally exceeds
+  ``max_missing_allowed_proportion * max_points`` the pair total is 0
+  (link.py:117-168) — per-feature scores are NOT zeroed (the reference
+  keeps them, link.py:160-162).
+
+The pair DataFrame carries the left (incoming, raw — link.py:260 scores
+the uncleaned record) and right (MPI, skip-cleaned) feature arrays as
+``fl_*`` / ``fr_*`` columns; one score column per evaluator comes out
+as ``fs_<feature>`` plus the gated ``score`` total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from recordlinker_spark.config import (
+    FUNC_EXACT,
+    FUNC_FUZZY,
+    Algorithm,
+    AlgorithmPass,
+    Evaluator,
+)
+from recordlinker_spark.functions.similarity import max_similarity_udf
+
+
+def feature_col(feature: str) -> str:
+    """Evaluator feature string -> feat_* column name
+    (``IDENTIFIER:SS`` -> ``feat_IDENTIFIER_SS``)."""
+    return "feat_" + feature.replace(":", "_")
+
+
+def fs_col(feature: str) -> str:
+    return "fs_" + feature.replace(":", "_")
+
+
+def _empty(col: Column) -> Column:
+    return F.coalesce(F.size(col), F.lit(0)) <= 0
+
+
+def evaluator_score(
+    ev: Evaluator, algorithm: Algorithm, left: Column, right: Column
+) -> tuple[Column, Column]:
+    """(score, missing) columns for one evaluator over a pair row."""
+    ctx = algorithm.context
+    log_odds = ctx.get_log_odds(ev.feature) or 0.0
+    missing = _empty(left) | _empty(right)
+    missing_pts = F.lit(ctx.missing_field_points_proportion * log_odds)
+    if ev.func == FUNC_EXACT:
+        score = (
+            F.when(missing, missing_pts)
+            .when(F.arrays_overlap(left, right), F.lit(log_odds))
+            .otherwise(F.lit(0.0))
+        )
+        return score, missing
+    if ev.func == FUNC_FUZZY:
+        measure = ev.fuzzy_match_measure or ctx.fuzzy_match_measure
+        threshold = (
+            ev.fuzzy_match_threshold
+            if ev.fuzzy_match_threshold is not None
+            else ctx.fuzzy_match_threshold
+        )
+        sim = max_similarity_udf(measure)(left, right)
+        score = (
+            F.when(missing, missing_pts)
+            .when(sim >= F.lit(threshold), sim * F.lit(log_odds))
+            .otherwise(F.lit(0.0))
+        )
+        return score, missing
+    raise ValueError(f"unknown evaluator func: {ev.func}")
+
+
+def attach_pair_features(
+    pairs: DataFrame,
+    incoming_feats: DataFrame,
+    mpi_feats: DataFrame,
+    algorithm_pass: AlgorithmPass,
+) -> DataFrame:
+    """Join the per-side feature arrays needed by this pass onto the
+    candidate pairs (fl_* = incoming/left, fr_* = MPI/right)."""
+    feats = sorted({e.feature for e in algorithm_pass.evaluators})
+    left = incoming_feats.select(
+        F.col("record_id").alias("record_id_l"),
+        *[F.col(feature_col(f)).alias("fl_" + f.replace(":", "_")) for f in feats],
+    )
+    right = mpi_feats.select(
+        F.col("record_id").alias("record_id_r"),
+        *[F.col(feature_col(f)).alias("fr_" + f.replace(":", "_")) for f in feats],
+    )
+    return pairs.join(left, "record_id_l").join(right, "record_id_r")
+
+
+def score_pairs(
+    pairs_with_feats: DataFrame,
+    algorithm: Algorithm,
+    algorithm_pass: AlgorithmPass,
+) -> DataFrame:
+    """C4: add ``fs_<feature>`` per-evaluator scores and the gated
+    ``score`` total to each pair row."""
+    ctx = algorithm.context
+    max_points = algorithm.max_points(algorithm_pass)
+
+    score_cols: list[Column] = []
+    missing_terms: list[Column] = []
+    out = pairs_with_feats
+    for ev in algorithm_pass.evaluators:
+        key = ev.feature.replace(":", "_")
+        s, m = evaluator_score(ev, algorithm, F.col("fl_" + key), F.col("fr_" + key))
+        out = out.withColumn(fs_col(ev.feature), s)
+        score_cols.append(F.col(fs_col(ev.feature)))
+        log_odds = ctx.get_log_odds(ev.feature) or 0.0
+        missing_terms.append(F.when(m, F.lit(log_odds)).otherwise(F.lit(0.0)))
+
+    missing_weights = missing_terms[0]
+    for t in missing_terms[1:]:
+        missing_weights = missing_weights + t
+    total = score_cols[0]
+    for c in score_cols[1:]:
+        total = total + c
+    gated = F.when(
+        missing_weights <= F.lit(ctx.max_missing_allowed_proportion * max_points),
+        total,
+    ).otherwise(F.lit(0.0))
+    out = out.withColumn("score", gated)
+    keep = ["record_id_l", "person_id", "record_id_r", "score"] + [
+        fs_col(e.feature) for e in algorithm_pass.evaluators
+    ]
+    return out.select(*keep)

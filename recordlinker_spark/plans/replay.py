@@ -1,0 +1,82 @@
+"""Sequential replay: reference-exact record-at-a-time linkage.
+
+The reference links records one at a time — each insert changes the MPI
+that later records block against (link.py:184-381 + insert at
+link.py:343-353).  Pure-batch linkage (linkjob.py) is order-independent
+within a batch; to reproduce the reference's pytest scenarios *exactly*
+(match vectors, cluster sizes, median feature scores — e.g.
+tests/unit/linking/test_link.py:277-424) this plan replays the batch
+engine with batch-size 1, accumulating the MPI between steps.
+
+This is a correctness harness for small fixtures, not the scale path:
+at 10^12 documents the engine runs linkjob.link_batch per partition of
+arriving documents (micro-batch), and entity resolution across a whole
+corpus bootstrap runs blocking+scoring once and clusters with
+operators/cluster.py connected components.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from recordlinker_spark.config import Algorithm
+from recordlinker_spark.operators.linkjob import link_batch
+from recordlinker_spark.schemas import PII_FIELDS, PII_SCHEMA, SPAN_TYPE
+
+import pyspark.sql.types as T
+
+MPI_SCHEMA = T.StructType(
+    PII_FIELDS
+    + [
+        T.StructField("spans", T.ArrayType(SPAN_TYPE)),
+        T.StructField("person_id", T.StringType()),
+    ]
+)
+
+
+@dataclasses.dataclass
+class ReplayStep:
+    record_id: str
+    final_grade: str
+    person_id: str | None
+    best_rms: float | None
+    matching_pass_label: str | None
+    results: list[Row]  # folded LinkResults incl. median feature columns
+
+
+def replay_link(
+    spark: SparkSession,
+    records: DataFrame,
+    algorithm: Algorithm,
+    order: typing.Sequence[str] | None = None,
+) -> tuple[list[ReplayStep], list[Row]]:
+    """Link records one at a time in ``order`` (default: record_id order).
+
+    :returns: (per-record decisions, final MPI rows incl. person_id).
+    """
+    rows = {r["record_id"]: r for r in records.collect()}
+    ordered = list(order) if order is not None else sorted(rows)
+
+    mpi_rows: list[Row] = []
+    steps: list[ReplayStep] = []
+    for rid in ordered:
+        incoming = spark.createDataFrame([rows[rid]], PII_SCHEMA)
+        mpi = spark.createDataFrame(mpi_rows, MPI_SCHEMA)
+        out = link_batch(incoming, mpi, algorithm)
+        decision = out.decisions.collect()[0]
+        results = out.results.collect()
+        steps.append(
+            ReplayStep(
+                record_id=rid,
+                final_grade=decision["final_grade"],
+                person_id=decision["person_id"],
+                best_rms=decision["best_rms"],
+                matching_pass_label=decision["matching_pass_label"],
+                results=sorted(results, key=lambda r: -r["rms"]),
+            )
+        )
+        mpi_rows.extend(out.new_patients.collect())
+    return steps, mpi_rows
