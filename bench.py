@@ -1,0 +1,121 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "pairs_scored_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...}
+
+The headline metric is candidate-pairs-scored/sec through the full
+link pipeline (block -> score -> median -> grade -> decide) over the
+customer-derived corpus; secondary queries cover dedup, similarity
+search, text stats and windowed aggregation.
+
+Scaling protocol (BASELINE.md): run this with SPARK_GRAFT_CPUS=8 and
+=32 on the same SF dir and compare pairs/sec — see
+scripts/bench_scaling.py which automates it and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("recordlinker-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from recordlinker_spark.plans import demo
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        return out
+
+    # warm the JVM, codegen cache, and Python UDF workers outside the
+    # timings (steady-state throughput is the metric — a long-running
+    # cluster job doesn't pay worker cold-start per batch)
+    spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    demo.q_pair_scores(spark, "/root/testdata/sf0.001").count()
+
+    # ---- headline: full link pipeline; pairs-scored/sec
+    def run_link():
+        from recordlinker_spark.operators.linkjob import link_batch
+
+        incoming = demo.derived_records(spark, SF_DIR, demo.INC_WHERE).drop(
+            "person_id"
+        )
+        mpi = demo.derived_records(spark, SF_DIR)
+        out = link_batch(
+            incoming,
+            mpi,
+            demo.demo_algorithm(),
+            keep_pair_scores=True,
+            cache_intermediate=True,
+        )
+        return out.pair_scores.count(), out.decisions.count()
+
+    (n_pairs, n_dec) = timed("link_pipeline", run_link)
+    extras["pairs_scored"] = float(n_pairs)
+    extras["decisions"] = float(n_dec)
+
+    # ---- secondary operators
+    timed("blocking_values", lambda: demo.q_blocking_values(spark, SF_DIR).count())
+    from recordlinker_spark.operators.dedup import minhash_lsh_pairs
+
+    timed("minhash_lsh", lambda: minhash_lsh_pairs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+        .repartition(CPUS),  # documents.parquet is one tiny file; spread
+        num_hashes=16,
+        bands=4,
+    ).count())
+    timed("ngram_jaccard", lambda: demo.q_ngram_jaccard(spark, SF_DIR).count())
+    timed("exact_dedup", lambda: demo.q_exact_dedup(spark, SF_DIR).count())
+    timed("embedding_topk", lambda: demo.q_embedding_topk(spark, SF_DIR).count())
+    timed("token_stats", lambda: demo.q_token_stats(spark, SF_DIR).count())
+    timed("quality_scores", lambda: demo.q_quality_scores(spark, SF_DIR).count())
+    timed("language_id", lambda: demo.q_language_id(spark, SF_DIR).count())
+    timed("events_window", lambda: demo.q_events_window(spark, SF_DIR).count())
+
+    pairs_per_sec = n_pairs / timings["link_pipeline"] if timings["link_pipeline"] else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "pairs_scored_per_sec",
+                "value": round(pairs_per_sec, 1),
+                "unit": "sec",
+                "queries": timings,
+                "extras": extras,
+                "cpus": CPUS,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -81,8 +81,32 @@ def norm_text_expr(col: Column) -> Column:
     )
 
 
+# unit separator: survives the [^0-9A-Za-z\x1f] scrub, never appears in
+# normalized-text inputs (control chars are not PII text)
+_SEP = "\x1f"
+
+
 def norm_text_array_expr(arr: Column) -> Column:
-    return F.transform(arr, norm_text_expr)
+    """normalize_text element-wise over array<string>.
+
+    Joins the array, normalizes ONCE at the top level, splits back —
+    NOT ``transform(arr, norm_text_expr)``: a regexp inside a
+    higher-order-function lambda degrades with executor-thread count
+    (see sources/ingest.py perf note), while top-level regexp stays in
+    codegen.  Null elements normalize to '' (downstream treats '' as
+    missing, same as the reference skipping falsy values)."""
+    src, dst, _ = nfkd_translate_table()
+    joined = F.array_join(arr, _SEP, "")  # null elements -> ''
+    cleaned = F.lower(
+        F.regexp_replace(
+            F.translate(joined, src, dst), "[^0-9A-Za-z\x1f]", ""
+        )
+    )
+    return F.when(arr.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.when(F.size(arr) == 0, F.array().cast("array<string>")).otherwise(
+            F.split(cleaned, _SEP, -1)
+        )
+    )
 
 
 def _nonempty(arr: Column) -> Column:
@@ -108,11 +132,17 @@ def _first_name_raw(prepend_suffix: bool) -> Column:
     return _nonempty(F.transform(F.col("name"), per_name))
 
 
-def feature_columns(records: DataFrame, identifier_types: list[str] | None = None) -> DataFrame:
+def feature_columns(
+    records: DataFrame,
+    identifier_types: list[str] | None = None,
+    prepend_suffix: bool = True,
+) -> DataFrame:
     """Add one ``feat_<ATTRIBUTE>`` array<string> column per feature.
 
     :param identifier_types: extra ``feat_IDENTIFIER_<TYPE>`` columns for
         identifier-suffix evaluators (e.g. ``IDENTIFIER:SS``).
+    :param prepend_suffix: FIRST_NAME suffix-prepending (pii.py:516-529);
+        the tuning exact matcher disables it (tuning/prob_calc.py:45-46).
     """
     name, address, telecom = F.col("name"), F.col("address"), F.col("telecom")
 
@@ -136,7 +166,7 @@ def feature_columns(records: DataFrame, identifier_types: list[str] | None = Non
     raw["GIVEN_NAME"] = _nonempty(
         F.transform(name, lambda n: F.array_join(n["given"], ""))
     )
-    raw["FIRST_NAME"] = _first_name_raw(prepend_suffix=True)
+    raw["FIRST_NAME"] = _first_name_raw(prepend_suffix=prepend_suffix)
     raw["LAST_NAME"] = _nonempty(F.transform(name, lambda n: n["family"]))
     # NAME concatenates first given + family unconditionally (pii.py:534-536)
     raw["NAME"] = F.transform(
@@ -209,11 +239,18 @@ def feature_columns(records: DataFrame, identifier_types: list[str] | None = Non
         lambda val, rest: F.concat(val, F.lit(":"), rest),
     )
     cols.append(ident_composite.alias("feat_IDENTIFIER"))
+    # per-type columns: align the composite with the (parallel) type
+    # array — equality in the lambda, never split()/regexp (HOF perf
+    # note in sources/ingest.py)
+    types_arr = F.transform(idents, lambda i: i["type"])
     for typ in identifier_types or []:
         cols.append(
-            F.filter(
-                ident_composite,
-                lambda v: F.try_element_at(F.split(v, ":"), F.lit(3)) == typ,
+            F.array_compact(
+                F.zip_with(
+                    ident_composite,
+                    types_arr,
+                    lambda c, t: F.when(t == typ, c),
+                )
             ).alias(f"feat_IDENTIFIER_{typ}")
         )
     return records.select(*cols)
@@ -223,12 +260,28 @@ def feature_columns(records: DataFrame, identifier_types: list[str] | None = Non
 # blocking keys (P4, pii.py:570-621)
 # --------------------------------------------------------------------------
 
+def _bk_identifier() -> Column:
+    """IDENTIFIER blocking value ``norm(value)[-4:]:type`` (pii.py:584-587)
+    built from the identifiers struct directly — re-splitting the
+    feat_IDENTIFIER composite would put split() (regex) inside a lambda."""
+    idents = F.col("identifiers")
+    norm_values = norm_text_array_expr(F.transform(idents, lambda i: i["value"]))
+    types_arr = F.transform(idents, lambda i: i["type"])
+    def last4(v: Column) -> Column:  # right(v, 4) incl. short-string case
+        return F.when(F.length(v) <= 4, v).otherwise(
+            F.substring(v, F.length(v) - 3, 4)
+        )
+
+    return F.zip_with(
+        norm_values,
+        types_arr,
+        lambda v, t: F.concat(last4(v), F.lit(":"), F.coalesce(t, F.lit(""))),
+    )
+
+
 BLOCKING_KEY_EXPRS: dict[str, str] = {
-    # key -> SQL expression over the feat_* columns
+    # key -> SQL expression over the feat_* columns ('' = column builder)
     "BIRTHDATE": "feat_BIRTHDATE",
-    "IDENTIFIER": (
-        "transform(feat_IDENTIFIER, v -> concat(right(try_element_at(split(v, ':'), 1), 4), ':', try_element_at(split(v, ':'), 3)))"
-    ),
     "SEX": "feat_SEX",
     "ZIP": "feat_ZIP",
     "FIRST_NAME": "transform(feat_FIRST_NAME, x -> left(x, 4))",
@@ -241,12 +294,11 @@ BLOCKING_KEY_EXPRS: dict[str, str] = {
 
 def blocking_key_columns(feats: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Add one ``bk_<KEY>`` array<string> (distinct values) per blocking key."""
-    keys = keys or list(BLOCKING_KEY_EXPRS)
+    keys = keys or (list(BLOCKING_KEY_EXPRS) + ["IDENTIFIER"])
     cols = [feats["*"]]
     for key in keys:
-        cols.append(
-            F.array_distinct(F.expr(BLOCKING_KEY_EXPRS[key])).alias(f"bk_{key}")
-        )
+        col = _bk_identifier() if key == "IDENTIFIER" else F.expr(BLOCKING_KEY_EXPRS[key])
+        cols.append(F.array_distinct(col).alias(f"bk_{key}"))
     return feats.select(*cols)
 
 

@@ -68,28 +68,49 @@ def shingles(col: Column, k: int = 5) -> Column:
 
 
 def _shingle_hash(sh: Column) -> Column:
-    """Stable 61-bit shingle hash: first 15 hex chars of md5."""
-    return F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
+    """Stable 28-bit shingle hash: first 7 hex chars of md5.
+
+    28 bits keeps ``h * a`` (a < 2^31) under 2^59 — no int64 overflow
+    under ANSI mode (Spark 4 default) without losing determinism."""
+    return F.conv(F.substring(F.md5(sh), 1, 7), 16, 10).cast("long")
 
 
-def minhash_signature(col: Column, num_hashes: int, seed: int = 42) -> Column:
-    """array<long> minhash signature over character shingles."""
+def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE))
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
         for _ in range(num_hashes)
     ]
-    hashes = F.transform(shingles(col), _shingle_hash)
-    mins = [
-        F.array_min(
-            F.transform(
-                hashes,
-                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE),
-            )
-        )
-        for a, b in coeffs
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    seed: int = 42,
+    k: int = 5,
+) -> DataFrame:
+    """(doc_id, sig: array<long>) minhash signatures.
+
+    Plan shape chosen for scale: explode shingles -> one md5 per
+    shingle -> groupBy(doc_id) with ``num_hashes`` codegen'd ``min``
+    aggregates.  The map-side partial aggregation collapses each
+    partition to one row per doc before the shuffle, so the exchange
+    carries ~|docs| rows, not |shingles| — and everything stays in
+    whole-stage codegen (an array-accumulator ``F.aggregate`` variant
+    ran ~50x slower: interpreted HOF, per-step array allocation)."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    ex = docs.select(
+        F.col("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
+    ).select("doc_id", _shingle_hash(F.col("sh")).alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(coeffs)
     ]
-    return F.array(*mins)
+    sig = ex.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -108,10 +129,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = docs.select(
-        F.col("doc_id"),
-        minhash_signature(F.col(text_col), num_hashes, seed).alias("sig"),
-    )
+    sig = minhash_signatures(docs, text_col, num_hashes, seed)
     banded = sig.select(
         "doc_id",
         F.explode(

@@ -127,6 +127,7 @@ def link_batch(
     mpi_patients: DataFrame,
     algorithm: Algorithm,
     keep_pair_scores: bool = False,
+    cache_intermediate: bool = False,
     **block_kwargs,
 ) -> LinkOutput:
     """Link a batch of incoming PII records against the MPI.
@@ -138,13 +139,37 @@ def link_batch(
     """
     inc_feats, inc_bk = prepare_incoming(incoming, algorithm)
     mpi_feats, mpi_bk = prepare_mpi(mpi_patients, algorithm)
+    if len(algorithm.passes) > 1 or cache_intermediate:
+        # every pass re-joins these projections; without a cache each
+        # pass would re-run span parsing + feature extraction over the
+        # whole MPI (the widest scan in the job)
+        inc_bk = inc_bk.cache()
+        mpi_bk = mpi_bk.cache()
+        inc_feats = inc_feats.cache()
+        mpi_feats = mpi_feats.cache()
 
-    per_pass: list[DataFrame] = []
-    all_scored: DataFrame | None = None
-    for algorithm_pass in algorithm.passes:
+    def build_pass(algorithm_pass):
         pairs = candidate_pairs(inc_bk, mpi_bk, algorithm, algorithm_pass, **block_kwargs)
         with_feats = attach_pair_features(pairs, inc_feats, mpi_feats, algorithm_pass)
         scored = score_pairs(with_feats, algorithm, algorithm_pass)
+        if cache_intermediate:
+            # one blocking+scoring computation shared by the cluster
+            # aggregation and any pair_scores consumer
+            scored = scored.cache()
+        return scored
+
+    # passes are independent until the fold; their driver-side actions
+    # (subset collect, skew census) are small serial jobs, so submit
+    # them from concurrent threads — Spark schedules the jobs in
+    # parallel and the cluster stays busy instead of round-tripping
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        scored_per_pass = list(pool.map(build_pass, algorithm.passes))
+
+    per_pass: list[DataFrame] = []
+    all_scored: DataFrame | None = None
+    for algorithm_pass, scored in zip(algorithm.passes, scored_per_pass):
         if keep_pair_scores:
             labeled = scored.withColumn(
                 "pass_label", F.lit(algorithm_pass.resolved_label)

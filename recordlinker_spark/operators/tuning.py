@@ -1,0 +1,316 @@
+"""Log-odds + RMS-window tuning as one Spark job (J5/J6, A6-A8).
+
+Re-expresses the reference's tuning subsystem (reference:
+src/recordlinker/tuning/base.py:25-224, tuning/prob_calc.py,
+database/mpi_service.py:577-694) set-at-a-time:
+
+* J5 true-match sampling: self-join on ``person_id`` with
+  ``id_l < id_r``, random order (seeded), LIMIT n
+  (mpi_service.py:577-614).
+* J6 non-match sampling: random id sample, adjacent random pairing,
+  keep pairs from different non-null persons, dedup; Birthday-problem
+  guard on the requested pair count (mpi_service.py:617-694).
+* A6 class probabilities: per feature, Laplace-smoothed mean of exact
+  cross-value agreement (missing counts 0, FIRST_NAME without suffix
+  prepending) — ``(1 + sum(agree)) / (count + 1)``
+  (prob_calc.py:21-52).
+* A7 log-odds = ln(m/u) (prob_calc.py:55-72).
+* A8 RMS-window estimation: pair RMS per pass under the NEW odds (both
+  records skip-cleaned, same missingness gate as linking), then MMT =
+  first non-match score >= min positive true score, minus 0.025 buffer
+  (clamped at 0); CMT = first true score > max non-match, plus 0.025
+  (clamped at 1); documented edge-case fallbacks (prob_calc.py:125-187).
+
+Everything distributed except A8's final boundary walk, which runs on
+the two collected score lists (size = n_pairs, driver-trivial).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from recordlinker_spark.config import Algorithm, AlgorithmContext
+from recordlinker_spark.functions.features import feature_columns
+from recordlinker_spark.operators.scoring import evaluator_score, feature_col
+from recordlinker_spark.operators.skipvalues import remove_skip_values
+
+# reference prob_calc.py:14-18
+FIELDS_TO_CALCULATE = [
+    "BIRTHDATE",
+    "SEX",
+    "ADDRESS",
+    "CITY",
+    "STATE",
+    "ZIP",
+    "FIRST_NAME",
+    "LAST_NAME",
+    "RACE",
+    "TELECOM",
+    "PHONE",
+    "EMAIL",
+    "COUNTY",
+    "IDENTIFIER",
+]
+
+
+@dataclasses.dataclass
+class TuningResult:
+    log_odds: dict[str, float]
+    bounds: dict[str, tuple[float, float]]  # pass label -> (mmt, cmt)
+    true_pairs: int
+    non_pairs: int
+
+
+def _tuning_feats(patients: DataFrame, algorithm: Algorithm | None) -> DataFrame:
+    """Features for the exact-agreement probe (suffix prepending OFF)."""
+    cols = [
+        "record_id",
+        "external_id",
+        "birth_date",
+        "sex",
+        "name",
+        "address",
+        "telecom",
+        "race",
+        "identifiers",
+    ]
+    return feature_columns(
+        patients.select(*cols), prepend_suffix=False
+    ).join(patients.select("record_id", "person_id"), "record_id")
+
+
+def sample_true_match_pairs(
+    patients: DataFrame, n_pairs: int, seed: int = 42
+) -> DataFrame:
+    """J5: (record_id_l, record_id_r) same-cluster pairs, seeded random."""
+    left = patients.select(
+        F.col("record_id").alias("record_id_l"), "person_id"
+    ).filter(F.col("person_id").isNotNull())
+    right = patients.select(
+        F.col("record_id").alias("record_id_r"), "person_id"
+    ).filter(F.col("person_id").isNotNull())
+    pairs = left.join(right, "person_id").filter(
+        F.col("record_id_l") < F.col("record_id_r")
+    )
+    return (
+        pairs.orderBy(F.rand(seed))
+        .limit(n_pairs)
+        .select("record_id_l", "record_id_r")
+    )
+
+
+def sample_non_match_pairs(
+    patients: DataFrame, sample_size: int, n_pairs: int, seed: int = 42
+) -> DataFrame:
+    """J6: cross-cluster pairs via adjacent pairing of a shuffled sample."""
+    if sample_size <= 1:
+        raise ValueError("Cannot sample from a single database point")
+    # Birthday-problem guard (mpi_service.py:645-654)
+    taylor = math.exp(
+        (-1.0 * n_pairs * (n_pairs - 1.0)) / (sample_size * (sample_size - 1.0))
+    )
+    if 1.0 - taylor >= 0.5:
+        raise ValueError("Too many pairs requested for sample size")
+
+    sampled = (
+        patients.select("record_id", "person_id")
+        .filter(F.col("person_id").isNotNull())
+        .orderBy(F.rand(seed))
+        .limit(sample_size)
+        .withColumn("_rn", F.row_number().over(Window.orderBy(F.rand(seed + 1))))
+    )
+    left = sampled.select(
+        F.col("record_id").alias("record_id_l"),
+        F.col("person_id").alias("person_l"),
+        "_rn",
+    )
+    right = sampled.select(
+        F.col("record_id").alias("record_id_r"),
+        F.col("person_id").alias("person_r"),
+        (F.col("_rn") - 1).alias("_rn"),
+    )
+    pairs = (
+        left.join(right, "_rn")
+        .filter(F.col("person_l") != F.col("person_r"))
+        .select(
+            F.least("record_id_l", "record_id_r").alias("record_id_l"),
+            F.greatest("record_id_l", "record_id_r").alias("record_id_r"),
+        )
+        .dropDuplicates(["record_id_l", "record_id_r"])
+    )
+    return pairs.limit(n_pairs)
+
+
+def _attach(pairs: DataFrame, feats: DataFrame, features: list[str]) -> DataFrame:
+    l = feats.select(
+        F.col("record_id").alias("record_id_l"),
+        *[F.col(feature_col(f)).alias("fl_" + f.replace(":", "_")) for f in features],
+    )
+    r = feats.select(
+        F.col("record_id").alias("record_id_r"),
+        *[F.col(feature_col(f)).alias("fr_" + f.replace(":", "_")) for f in features],
+    )
+    return pairs.join(l, "record_id_l").join(r, "record_id_r")
+
+
+def class_probs(pairs_with_feats: DataFrame) -> dict[str, float]:
+    """A6: Laplace-smoothed exact-agreement rate per feature."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for f in FIELDS_TO_CALCULATE:
+        key = f.replace(":", "_")
+        l, r = F.col("fl_" + key), F.col("fr_" + key)
+        agree = F.when(
+            (F.coalesce(F.size(l), F.lit(0)) > 0)
+            & (F.coalesce(F.size(r), F.lit(0)) > 0)
+            & F.arrays_overlap(l, r),
+            1.0,
+        ).otherwise(0.0)
+        aggs.append(F.sum(agree).alias(f))
+    row = pairs_with_feats.agg(*aggs).collect()[0]
+    n = row["_n"]
+    return {f: (1.0 + row[f]) / (n + 1.0) for f in FIELDS_TO_CALCULATE}, n
+
+
+def calculate_log_odds(
+    m_probs: dict[str, float], u_probs: dict[str, float]
+) -> dict[str, float]:
+    """A7 (prob_calc.py:55-72)."""
+    return {f: math.log(m_probs[f] / u_probs[f]) for f in m_probs}
+
+
+def pair_rms_scores(
+    pairs: DataFrame,
+    cleaned_feats: DataFrame,
+    algorithm: Algorithm,
+    log_odds: dict[str, float],
+) -> dict[str, list[float]]:
+    """RMS per pass for each pair under the provided odds
+    (prob_calc.py:190-276); returns pass label -> sorted scores."""
+    tuned = dataclasses.replace(
+        algorithm,
+        context=dataclasses.replace(algorithm.context, log_odds=dict(log_odds)),
+    )
+    feats_needed = sorted(
+        {e.feature for p in algorithm.passes for e in p.evaluators}
+    )
+    with_feats = _attach(pairs, cleaned_feats, feats_needed)
+
+    out_cols = []
+    for p in tuned.passes:
+        max_points = tuned.max_points(p)
+        scores, missing_terms = [], []
+        for ev in p.evaluators:
+            key = ev.feature.replace(":", "_")
+            s, m = evaluator_score(ev, tuned, F.col("fl_" + key), F.col("fr_" + key))
+            scores.append(s)
+            lo = tuned.context.get_log_odds(ev.feature) or 0.0
+            missing_terms.append(F.when(m, F.lit(lo)).otherwise(F.lit(0.0)))
+        total = scores[0]
+        for s in scores[1:]:
+            total = total + s
+        missing = missing_terms[0]
+        for m in missing_terms[1:]:
+            missing = missing + m
+        gated = F.when(
+            missing
+            <= F.lit(tuned.context.max_missing_allowed_proportion * max_points),
+            total,
+        ).otherwise(F.lit(0.0))
+        rms = gated / F.lit(max_points) if max_points else F.lit(0.0)
+        out_cols.append(rms.alias(f"rms_{p.resolved_label}"))
+
+    rows = with_feats.select(*out_cols).collect()
+    return {
+        p.resolved_label: sorted(r[f"rms_{p.resolved_label}"] for r in rows)
+        for p in tuned.passes
+    }
+
+
+def estimate_rms_bounds(
+    true_scores: dict[str, list[float]], non_scores: dict[str, list[float]]
+) -> dict[str, tuple[float, float]]:
+    """A8 (prob_calc.py:125-187) — verbatim boundary-walk semantics."""
+    bounds: dict[str, tuple[float, float]] = {}
+    for key in true_scores:
+        trues = [x for x in true_scores[key] if x > 0.0]
+        nons = non_scores[key]
+        mmt = None
+        cmt = None
+        for t in nons:
+            if trues and t >= trues[0]:
+                mmt = t
+                break
+        for t in trues:
+            if nons and t > nons[-1]:
+                cmt = t
+                break
+        if mmt is not None:
+            mmt = max([0, mmt - 0.025])
+        if cmt is not None:
+            cmt = min([1.0, cmt + 0.025])
+        if mmt is None:
+            mmt = nons[-1] if nons else 0.0
+        if cmt is None:
+            cmt = min([(nons[-1] if nons else 0.99) + 0.01, 1.0])
+        bounds[key] = (mmt, cmt)
+    return bounds
+
+
+def tune(
+    patients: DataFrame,
+    algorithm: Algorithm,
+    n_true_pairs: int = 1000,
+    n_non_pairs: int = 1000,
+    sample_size: int = 100000,
+    seed: int = 42,
+) -> TuningResult:
+    """The full tuning job (tuning/base.py:129-224): sample -> class
+    probs -> log-odds -> re-sample scores -> RMS windows.
+
+    :param patients: pii columns + ``person_id`` cluster labels.
+    """
+    raw_feats = _tuning_feats(patients, algorithm).cache()
+
+    true_pairs = sample_true_match_pairs(raw_feats, n_true_pairs, seed).cache()
+    non_pairs = sample_non_match_pairs(
+        raw_feats, min(sample_size, raw_feats.count()), n_non_pairs, seed
+    ).cache()
+
+    m_probs, n_true = class_probs(_attach(true_pairs, raw_feats, FIELDS_TO_CALCULATE))
+    u_probs, n_non = class_probs(_attach(non_pairs, raw_feats, FIELDS_TO_CALCULATE))
+    odds = calculate_log_odds(m_probs, u_probs)
+
+    # A8 scores both records skip-CLEANED (prob_calc.py:264-268)
+    cols = [
+        "record_id",
+        "external_id",
+        "birth_date",
+        "sex",
+        "name",
+        "address",
+        "telecom",
+        "race",
+        "identifiers",
+    ]
+    cleaned = remove_skip_values(
+        patients.select(*cols), algorithm.context.skip_values
+    )
+    id_types = sorted(
+        {
+            e.suffix
+            for p in algorithm.passes
+            for e in p.evaluators
+            if e.suffix is not None
+        }
+    )
+    cleaned_feats = feature_columns(cleaned, id_types).cache()
+    true_scores = pair_rms_scores(true_pairs, cleaned_feats, algorithm, odds)
+    non_scores = pair_rms_scores(non_pairs, cleaned_feats, algorithm, odds)
+    bounds = estimate_rms_bounds(true_scores, non_scores)
+    return TuningResult(
+        log_odds=odds, bounds=bounds, true_pairs=n_true, non_pairs=n_non
+    )

@@ -1,0 +1,166 @@
+"""Tuning parity with the reference's prob_calc tests.
+
+Uses the reference's synthetic_tuning_pairs fixture (data, not code)
+to check class probabilities, log-odds, pass RMS scores, and RMS-window
+estimation against tests/unit/tuning/test_prob_calc.py expectations.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from recordlinker_spark.config import dibbs_default
+from recordlinker_spark.operators.tuning import (
+    _attach,
+    _tuning_feats,
+    FIELDS_TO_CALCULATE,
+    calculate_log_odds,
+    class_probs,
+    estimate_rms_bounds,
+    pair_rms_scores,
+    sample_non_match_pairs,
+    sample_true_match_pairs,
+)
+from recordlinker_spark.functions.features import feature_columns
+from recordlinker_spark.operators.skipvalues import remove_skip_values
+from recordlinker_spark.schemas import DOCUMENTS_SCHEMA
+from recordlinker_spark.sources.ingest import parse_documents
+from recordlinker_spark.sources.spandoc import docs_to_rows
+
+FIXTURE = "/root/reference/tests/unit/assets/synthetic_tuning_pairs.json"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(FIXTURE), reason="reference fixture not available"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """All 10 records of the 5 tuning pairs, parsed; plus the reference
+    pairings: true = (d1_i, d2_i), non = (d1_i, d2_{i+1 mod 5})."""
+    samples = json.load(open(FIXTURE))["samples"]
+    docs = []
+    for i, s in enumerate(samples):
+        docs.append((f"t{i}_1", s["data_1"], []))
+        docs.append((f"t{i}_2", s["data_2"], []))
+    records = parse_documents(
+        spark.createDataFrame(docs_to_rows(docs), DOCUMENTS_SCHEMA)
+    ).withColumn("person_id", F.lit("x"))
+    n = len(samples)
+    true_pairs = [(f"t{i}_1", f"t{i}_2") for i in range(n)]
+    non_pairs = [(f"t{i}_1", f"t{(i + 1) % n}_2") for i in range(n)]
+    return records, true_pairs, non_pairs
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(
+        pairs, "record_id_l string, record_id_r string"
+    )
+
+
+def test_class_probs_m_and_u(spark, corpus):
+    """prob_calc expectations (test_prob_calc.py:39-75)"""
+    records, true_pairs, non_pairs = corpus
+    feats = _tuning_feats(records, None)
+    m, n_t = class_probs(_attach(_pairs_df(spark, true_pairs), feats, FIELDS_TO_CALCULATE))
+    u, n_u = class_probs(_attach(_pairs_df(spark, non_pairs), feats, FIELDS_TO_CALCULATE))
+    assert n_t == 5 and n_u == 5
+    # NB on RACE: the reference's committed expectations
+    # (test_prob_calc.py:44,69: m=1.0, u=1/3) predate the UNKNOWN/
+    # ASKED_UNKNOWN exclusion in feature_iter (pii.py:537-540) — with
+    # the shipped CODE, the two UNKNOWN-race pairs are missing-field
+    # comparisons worth 0, giving m=(1+3)/6=2/3 and u=(1+0)/6=1/6.
+    # We match the code (the same exclusion drives linking).
+    expected_m = {
+        "BIRTHDATE": 2 / 3, "SEX": 5 / 6, "FIRST_NAME": 5 / 6,
+        "LAST_NAME": 1.0, "ADDRESS": 1.0, "CITY": 2 / 3, "STATE": 1.0,
+        "ZIP": 5 / 6, "RACE": 2 / 3, "TELECOM": 1.0, "PHONE": 1.0,
+        "EMAIL": 1 / 6, "COUNTY": 1.0, "IDENTIFIER": 1.0,
+    }
+    expected_u = {
+        "BIRTHDATE": 1 / 6, "SEX": 1 / 3, "FIRST_NAME": 1 / 6,
+        "LAST_NAME": 1 / 6, "ADDRESS": 1 / 6, "CITY": 1 / 6, "STATE": 1 / 3,
+        "ZIP": 1 / 6, "RACE": 1 / 6, "TELECOM": 1 / 6, "PHONE": 1 / 6,
+        "EMAIL": 1 / 6, "COUNTY": 1 / 6, "IDENTIFIER": 1 / 6,
+    }
+    for f, v in expected_m.items():
+        assert m[f] == pytest.approx(v), f"m[{f}]"
+    for f, v in expected_u.items():
+        assert u[f] == pytest.approx(v), f"u[{f}]"
+
+    odds = calculate_log_odds(m, u)
+    assert round(odds["BIRTHDATE"], 3) == 1.386
+    assert round(odds["SEX"], 3) == 0.916
+    assert round(odds["EMAIL"], 3) == 0.0
+    assert round(odds["IDENTIFIER"], 3) == 1.792
+
+
+def test_pair_rms_scores(spark, corpus):
+    """pass RMS values (test_prob_calc.py:168-180)"""
+    records, true_pairs, non_pairs = corpus
+    alg = dibbs_default()
+    odds = {
+        "BIRTHDATE": 1.386, "SEX": 0.916, "FIRST_NAME": 1.609,
+        "LAST_NAME": 1.792, "ADDRESS": 1.792, "CITY": 1.386,
+        "STATE": 1.099, "ZIP": 1.609, "RACE": 1.099, "TELECOM": 1.792,
+        "PHONE": 1.792, "EMAIL": 0.0, "COUNTY": 1.792, "IDENTIFIER": 1.792,
+    }
+    cleaned = remove_skip_values(
+        records.drop("person_id", "spans"), alg.context.skip_values
+    )
+    feats = feature_columns(cleaned)
+    trues = pair_rms_scores(_pairs_df(spark, true_pairs), feats, alg, odds)
+    nons = pair_rms_scores(_pairs_df(spark, non_pairs), feats, alg, odds)
+    p1 = "BLOCK_birthdate_identifier_sex_MATCH_first_name_last_name"
+    p2 = "BLOCK_zip_first_name_last_name_sex_MATCH_address_birthdate"
+    assert [round(x, 3) for x in trues[p1]] == [0.527, 1.0, 1.0, 1.0, 1.0]
+    assert nons[p1] == [0.0] * 5
+    assert [round(x, 3) for x in trues[p2]] == [0.564, 0.564, 1.0, 1.0, 1.0]
+    assert nons[p2] == [0.0] * 5
+
+
+def test_estimate_rms_bounds():
+    """boundary-walk cases (test_prob_calc.py:182-226)"""
+    b = estimate_rms_bounds(
+        {"p": [0.564, 1.0, 1.0, 1.0, 1.0]}, {"p": [0.0, 0.0, 0.0, 0.05, 0.25]}
+    )
+    assert b["p"] == (0.25, 0.589)
+    b = estimate_rms_bounds(
+        {"p": [0.85, 0.92, 0.97, 1.0, 1.0]}, {"p": [0.0, 0.15, 0.33, 0.86, 0.93]}
+    )
+    assert b["p"] == (0.835, 0.995)
+    b = estimate_rms_bounds(
+        {"p": [0.77, 0.78, 0.78, 0.79, 0.81]}, {"p": [0.56, 0.64, 0.67, 0.8, 0.83]}
+    )
+    assert b["p"][0] == 0.775 and round(b["p"][1], 3) == 0.84
+    b = estimate_rms_bounds(
+        {"p1": [0.8, 0.8, 0.83, 0.88, 0.94], "p2": [0.6, 0.7, 0.7, 0.77, 0.78]},
+        {"p1": [0.1, 0.2, 0.3, 0.3, 0.435], "p2": [0.5, 0.56, 0.62, 0.65, 0.65]},
+    )
+    assert b["p1"][0] == 0.435 and round(b["p1"][1], 3) == 0.825
+    assert b["p2"] == (0.595, 0.725)
+
+
+def test_sampling_shapes(spark, corpus):
+    """J5/J6 sampling: counts, no same-person non-matches, guard raises."""
+    records, _, _ = corpus
+    # give each doc pair its own person so true pairs exist
+    labeled = records.drop("person_id").withColumn(
+        "person_id", F.regexp_extract("record_id", r"(t\d+)_", 1)
+    )
+    feats = _tuning_feats(labeled, None)
+    t = sample_true_match_pairs(feats, 3, seed=1)
+    assert t.count() == 3
+    n = sample_non_match_pairs(feats, 10, 4, seed=1)
+    rows = n.join(
+        labeled.select(F.col("record_id").alias("record_id_l"),
+                       F.col("person_id").alias("pl")), "record_id_l"
+    ).join(
+        labeled.select(F.col("record_id").alias("record_id_r"),
+                       F.col("person_id").alias("pr")), "record_id_r"
+    ).collect()
+    assert all(r["pl"] != r["pr"] for r in rows)
+    with pytest.raises(ValueError):
+        sample_non_match_pairs(feats, 5, 100)
