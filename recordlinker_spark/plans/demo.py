@@ -386,6 +386,78 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 hashes, k=5 shingles) as flat columns."""
+    from recordlinker_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    sig = minhash_signatures(docs, num_hashes=4, seed=7)
+    return sig.select(
+        "doc_id", *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(4)]
+    )
+
+
+def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a deterministic edge set: every doc is
+    linked to its injected duplicate (id+1000000) and even docs to their
+    odd neighbor — components of size 4."""
+    from recordlinker_spark.operators.cluster import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    # zero-pad so the CC's lexicographic min-label equals the numeric min
+    pad = lambda c: F.lpad(c.cast("string"), 9, "0")  # noqa: E731
+    dup_edges = docs.select(
+        pad(F.col("doc_id")).alias("src"),
+        pad(F.col("doc_id") + 1000000).alias("dst"),
+    )
+    chain_edges = docs.filter(F.col("doc_id") % 2 == 0).select(
+        pad(F.col("doc_id")).alias("src"),
+        pad(F.col("doc_id") + 1).alias("dst"),
+    )
+    labels = connected_components(dup_edges.unionByName(chain_edges))
+    return labels.select(
+        F.col("record_id").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def q_tuning_class_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: Laplace-smoothed agreement rates over the derived true pairs
+    (even custkey = base record, odd = perturbed duplicate)."""
+    from recordlinker_spark.operators.tuning import _attach, class_probs
+
+    recs = derived_records(spark, sf_dir)
+    from recordlinker_spark.functions.features import feature_columns
+
+    feats = feature_columns(recs.drop("person_id"), prepend_suffix=False)
+    pairs = spark.sql(
+        "select cast(c_custkey as string) as record_id_l,"
+        " cast(c_custkey + 1 as string) as record_id_r"
+        " from customer where c_custkey % 2 = 0"
+    )
+    probed = ["BIRTHDATE", "SEX", "FIRST_NAME", "LAST_NAME"]
+    with_feats = _attach(pairs, feats, probed)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for f in probed:
+        l, r = F.col("fl_" + f), F.col("fr_" + f)
+        agree = F.when(
+            (F.coalesce(F.size(l), F.lit(0)) > 0)
+            & (F.coalesce(F.size(r), F.lit(0)) > 0)
+            & F.arrays_overlap(l, r),
+            1.0,
+        ).otherwise(0.0)
+        aggs.append(
+            F.round((F.sum(agree) + 1.0) / (F.count(F.lit(1)) + 1.0), 6).alias(
+                "m_" + f.lower()
+            )
+        )
+    return with_feats.agg(*aggs)
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling per-user event aggregation (batch window)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -413,6 +485,9 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "embedding_topk": q_embedding_topk,
     "events_window": q_events_window,
+    "minhash_sigs": q_minhash_sigs,
+    "cc_clusters": q_cc_clusters,
+    "tuning_class_probs": q_tuning_class_probs,
 }
 
 
@@ -644,6 +719,70 @@ def oracle_queries() -> dict[str, str]:
                round(sum(value), 6) as sum_value
         from events
         group by 1, 2
+    """
+
+    from recordlinker_spark.operators.dedup import MERSENNE, _minhash_coeffs
+
+    coeffs = _minhash_coeffs(4, seed=7)
+    sig_cols = ", ".join(
+        f"min((h * {a} + {b}) % {MERSENNE}) as h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    out["minhash_sigs"] = f"""
+        with sh as (
+          select cast(doc_id as bigint) as doc_id,
+                 unnest(list_distinct([substr(t, i, 5)
+                   for i in range(1, greatest(length(t) - 4, 1) + 1)])) as s
+          from (select doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as t
+                from documents)
+        ),
+        hashed as (
+          select doc_id,
+                 cast(concat('0x', substr(md5(s), 1, 7)) as bigint) as h
+          from sh
+        )
+        select doc_id, {sig_cols} from hashed group by doc_id
+    """
+
+    out["cc_clusters"] = """
+        with recursive edges as (
+          select cast(doc_id as bigint) as src,
+                 cast(doc_id as bigint) + 1000000 as dst
+          from documents
+          union all
+          select cast(doc_id as bigint), cast(doc_id as bigint) + 1
+          from documents where cast(doc_id as bigint) % 2 = 0
+        ),
+        sym as (
+          select src, dst from edges
+          union select dst, src from edges
+          union select src as src, src as dst from edges
+          union select dst as src, dst as dst from edges
+        ),
+        reach as (
+          select src as a, dst as b from sym
+          union
+          select r.a, s.dst from reach r join sym s on r.b = s.src
+        )
+        select a as node, min(b) as component from reach group by a
+    """
+
+    out["tuning_class_probs"] = f"""
+        with {_DUCK_DERIVED},
+        pairs as (
+          select l.bd as bd_l, l.sex as sex_l, l.first as first_l, l.last as last_l,
+                 r.bd as bd_r, r.sex as sex_r, r.first as first_r, r.last as last_r
+          from derived l
+          join derived r on cast(r.record_id as bigint) = cast(l.record_id as bigint) + 1
+          where cast(l.record_id as bigint) % 2 = 0
+        )
+        select count(*) as n,
+          round((sum(case when bd_l = bd_r then 1.0 else 0.0 end) + 1.0) / (count(*) + 1.0), 6) as m_birthdate,
+          round((sum(case when sex_l = sex_r then 1.0 else 0.0 end) + 1.0) / (count(*) + 1.0), 6) as m_sex,
+          round((sum(case when first_l = first_r then 1.0 else 0.0 end) + 1.0) / (count(*) + 1.0), 6) as m_first_name,
+          round((sum(case when last_l = last_r then 1.0 else 0.0 end) + 1.0) / (count(*) + 1.0), 6) as m_last_name
+        from pairs
     """
 
     return out

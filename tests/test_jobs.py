@@ -1,0 +1,88 @@
+"""Job-mode entry points: seed -> link -> cluster -> orphans round trip."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from recordlinker_spark.plans import jobs
+from recordlinker_spark.schemas import DOCUMENTS_SCHEMA
+from recordlinker_spark.sources.spandoc import docs_to_rows
+from recordlinker_spark.synth import synth_documents
+
+from fixtures_patients import SIX_PATIENTS
+
+
+class A:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+        self.n_pairs = kw.get("n_pairs", 50)
+
+
+def test_seed_link_orphans(spark, tmp_path):
+    docs_dir = str(tmp_path / "docs")
+    labels_dir = str(tmp_path / "labels")
+    mpi_dir = str(tmp_path / "mpi")
+    out_dir = str(tmp_path / "decisions")
+
+    seeded = [SIX_PATIENTS[0], SIX_PATIENTS[2]]  # John Shepard + Tali
+    spark.createDataFrame(
+        docs_to_rows([(f"r{i}", p, []) for i, p in enumerate(seeded)]),
+        DOCUMENTS_SCHEMA,
+    ).write.parquet(docs_dir)
+    spark.createDataFrame(
+        [(f"r{i}", f"p{i}") for i in range(2)], "record_id string, person_id string"
+    ).write.parquet(labels_dir)
+
+    jobs.job_seed(spark, A(documents=docs_dir, labels=labels_dir, mpi=mpi_dir))
+    assert spark.read.parquet(mpi_dir).count() == 2
+
+    # link the Jon variant (matches r0's person via pass 1)
+    link_docs = str(tmp_path / "link_docs")
+    spark.createDataFrame(
+        docs_to_rows([("x1", SIX_PATIENTS[1], [])]), DOCUMENTS_SCHEMA
+    ).write.parquet(link_docs)
+    jobs.job_link(spark, A(documents=link_docs, mpi=mpi_dir, out=out_dir))
+    dec = spark.read.parquet(out_dir).collect()
+    assert len(dec) == 1 and dec[0]["final_grade"] == "certain"
+    assert dec[0]["person_id"] == "p0"
+    assert spark.read.parquet(mpi_dir).count() == 3
+
+    jobs.job_orphans(spark, A(mpi=mpi_dir))
+
+
+def test_cluster_bootstrap(spark, tmp_path):
+    """CC clustering of a synthetic corpus recovers >=90% of ground-truth
+    person assignments (perturbations beyond the certain threshold split
+    clusters by design)."""
+    docs_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "clusters")
+    docs = synth_documents(spark, 150, seed=3)
+    docs.select("doc_id", "spans").write.parquet(docs_dir)
+    truth = {r["doc_id"]: r["person_key"] for r in docs.collect()}
+
+    jobs.job_cluster(spark, A(documents=docs_dir, out=out_dir))
+    labels = {r["record_id"]: r["person_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert set(labels) == set(truth)
+
+    # precision: no two different ground-truth persons merged
+    by_label: dict[str, set] = {}
+    for rid, lab in labels.items():
+        by_label.setdefault(lab, set()).add(truth[rid])
+    merged = [v for v in by_label.values() if len(v) > 1]
+    assert merged == []
+
+    # recall: most same-person records share a label
+    from collections import defaultdict
+
+    by_person = defaultdict(list)
+    for rid, pk in truth.items():
+        by_person[pk].append(rid)
+    total_pairs = hit_pairs = 0
+    for rids in by_person.values():
+        for i in range(len(rids)):
+            for j in range(i + 1, len(rids)):
+                total_pairs += 1
+                if labels[rids[i]] == labels[rids[j]]:
+                    hit_pairs += 1
+    assert total_pairs > 0
+    assert hit_pairs / total_pairs > 0.5
