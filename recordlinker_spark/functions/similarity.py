@@ -44,6 +44,59 @@ __all__ = [
 ]
 
 
+@functools.lru_cache(maxsize=16)
+def multi_max_similarity_udf(measures: tuple[str, ...]):
+    """One Arrow round-trip for a whole pass: 2N array<string> columns
+    (left/right per fuzzy evaluator) -> array<double> of max
+    cross-product similarities (NULL element = missing side).
+
+    A pass with N fuzzy evaluators would otherwise pay N pandas-UDF
+    transfers of the same pair rows; this fuses them into one."""
+    fns = [SIMILARITY_FUNCS[m] for m in measures]
+    n = len(measures)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def _udf(*cols: pd.Series) -> pd.Series:
+        caches: list[dict] = [{} for _ in range(n)]
+
+        def one(row):
+            sims = []
+            for k in range(n):
+                vals_l, vals_r = row[2 * k], row[2 * k + 1]
+                if (
+                    vals_l is None
+                    or vals_r is None
+                    or len(vals_l) == 0
+                    or len(vals_r) == 0
+                ):
+                    sims.append(None)
+                    continue
+                fn, cache = fns[k], caches[k]
+                best = 0.0
+                for x in vals_l:
+                    hit = False
+                    for y in vals_r:
+                        if x == y:
+                            best = 1.0
+                            hit = True
+                            break
+                        key = (x, y) if x <= y else (y, x)
+                        s = cache.get(key)
+                        if s is None:
+                            s = fn(x, y)
+                            cache[key] = s
+                        if s > best:
+                            best = s
+                    if hit:
+                        break
+                sims.append(best)
+            return sims
+
+        return pd.Series(map(one, zip(*cols)))
+
+    return _udf
+
+
 @functools.lru_cache(maxsize=8)
 def max_similarity_udf(measure: str):
     """Arrow-batched pandas UDF: (array<string>, array<string>) -> double

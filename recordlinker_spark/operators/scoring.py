@@ -111,16 +111,53 @@ def score_pairs(
     algorithm_pass: AlgorithmPass,
 ) -> DataFrame:
     """C4: add ``fs_<feature>`` per-evaluator scores and the gated
-    ``score`` total to each pair row."""
+    ``score`` total to each pair row.
+
+    All fuzzy evaluators of the pass share ONE fused pandas UDF call
+    (one Arrow round-trip per pair row, functions/similarity.py)."""
+    from recordlinker_spark.functions.similarity import multi_max_similarity_udf
+
     ctx = algorithm.context
     max_points = algorithm.max_points(algorithm_pass)
 
+    fuzzy = [e for e in algorithm_pass.evaluators if e.func == FUNC_FUZZY]
+    sims: dict[str, Column] = {}
+    out = pairs_with_feats
+    if fuzzy:
+        measures = tuple(
+            e.fuzzy_match_measure or ctx.fuzzy_match_measure for e in fuzzy
+        )
+        udf = multi_max_similarity_udf(measures)
+        args = []
+        for e in fuzzy:
+            key = e.feature.replace(":", "_")
+            args += [F.col("fl_" + key), F.col("fr_" + key)]
+        out = out.withColumn("_sims", udf(*args))
+        for i, e in enumerate(fuzzy):
+            sims[e.feature] = F.element_at(F.col("_sims"), i + 1)
+
     score_cols: list[Column] = []
     missing_terms: list[Column] = []
-    out = pairs_with_feats
     for ev in algorithm_pass.evaluators:
         key = ev.feature.replace(":", "_")
-        s, m = evaluator_score(ev, algorithm, F.col("fl_" + key), F.col("fr_" + key))
+        left, right = F.col("fl_" + key), F.col("fr_" + key)
+        if ev.func == FUNC_FUZZY:
+            log_odds = ctx.get_log_odds(ev.feature) or 0.0
+            threshold = (
+                ev.fuzzy_match_threshold
+                if ev.fuzzy_match_threshold is not None
+                else ctx.fuzzy_match_threshold
+            )
+            missing = _empty(left) | _empty(right)
+            sim = sims[ev.feature]
+            s = (
+                F.when(missing, F.lit(ctx.missing_field_points_proportion * log_odds))
+                .when(sim >= F.lit(threshold), sim * F.lit(log_odds))
+                .otherwise(F.lit(0.0))
+            )
+            m = missing
+        else:
+            s, m = evaluator_score(ev, algorithm, left, right)
         out = out.withColumn(fs_col(ev.feature), s)
         score_cols.append(F.col(fs_col(ev.feature)))
         log_odds = ctx.get_log_odds(ev.feature) or 0.0
