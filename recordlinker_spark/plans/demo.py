@@ -458,6 +458,40 @@ def q_tuning_class_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_feats.agg(*aggs)
 
 
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via banded MinHash (rows-only check: the
+    band/bucket join is deterministic but painful as one SQL string;
+    signature determinism is oracle-checked by minhash_sigs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    dupes = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return minhash_lsh_pairs(
+        docs.unionByName(dupes), num_hashes=16, bands=4, seed=7
+    ).orderBy("doc_id_l", "doc_id_r")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash LSH rows (rows-only: 60 per-bit majority votes
+    as one SQL oracle string is impractical; determinism tested)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return simhash_buckets(docs, band_bits=15)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN (recall < 1 by design -> rows-only; the exact
+    variant embedding_topk carries the oracle)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, dim=64, nbits=4).select(
+        "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling per-user event aggregation (batch window)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -488,6 +522,9 @@ QUERIES = {
     "minhash_sigs": q_minhash_sigs,
     "cc_clusters": q_cc_clusters,
     "tuning_class_probs": q_tuning_class_probs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "ivf_topk": q_ivf_topk,
 }
 
 
