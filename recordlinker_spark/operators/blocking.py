@@ -129,6 +129,7 @@ def blocked_persons(
     salt_threshold: int = 5000,
     num_salts: int = 32,
     max_block_size: int | None = None,
+    census_fraction: float = 0.02,
 ) -> DataFrame:
     """J1+J2: distinct ``(record_id_l, person_id)`` candidate clusters.
 
@@ -163,12 +164,22 @@ def blocked_persons(
         ).select(F.col("record_id").alias("record_id_l"), "_block")
         build = composite_values(mpi_bk, subset).select("person_id", "_block")
 
-        # ---- explicit skew handling: census -> hot/cold split + salting
+        # ---- explicit skew handling: census -> hot/cold split + salting.
+        # The census runs on a small sample: a hot block (> threshold
+        # members) is huge by definition, so a 2% Bernoulli sample sees
+        # it with overwhelming probability (expected 100+ sampled rows
+        # at the default threshold) while costing 1/50th of the shuffle.
         hot_rows = []
         if census_needed:
-            census = build.groupBy("_block").count()
+            frac = min(1.0, max(census_fraction, 200.0 / salt_threshold))
+            census = (
+                build.sample(fraction=frac, seed=42)
+                .groupBy("_block")
+                .count()
+                .withColumn("count", (F.col("count") / F.lit(frac)).cast("long"))
+            )
             hot_rows = (
-                census.filter(F.col("count") > salt_threshold)
+                census.filter(F.col("count") > salt_threshold // 2)
                 .orderBy(F.desc("count"))
                 .limit(1024)
                 .collect()
