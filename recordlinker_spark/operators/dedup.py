@@ -185,23 +185,44 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact character-k-shingle Jaccard for candidate pairs; keeps
     pairs with similarity >= threshold. Columns: doc_id_l, doc_id_r,
-    jaccard."""
-    sh = docs.select(
-        F.col("doc_id"), shingles(F.col(text_col), k).alias("sh")
+    jaccard.
+
+    Plan shape chosen for scale: shingles are EXPLODED once into
+    (doc_id, shingle) rows; |A ∩ B| is a pair-shingle equi-join counted
+    in a groupBy, |A| and |B| are per-doc counts, and jaccard =
+    inter / (|A| + |B| - inter).  Everything is narrow codegen rows —
+    the earlier variant joined the full shingle *arrays* onto every
+    pair and ran set ops per pair, shuffling O(doc_len) arrays per pair
+    (20.9s at sf0.1 vs low single digits for this plan).  Zero-overlap
+    pairs are preserved via a left join (jaccard = 0)."""
+    ex = docs.select(
+        F.col("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # pair x left-shingle rows, matched against the right side's shingles
+    left = candidate_pairs.join(
+        ex.select(F.col("doc_id").alias("doc_id_l"), "s"), "doc_id_l"
+    )
+    inter = (
+        left.join(
+            ex.select(F.col("doc_id").alias("doc_id_r"), "s"), ["doc_id_r", "s"]
+        )
+        .groupBy("doc_id_l", "doc_id_r")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     out = (
-        candidate_pairs.join(
-            sh.select(F.col("doc_id").alias("doc_id_l"), F.col("sh").alias("sh_l")),
+        candidate_pairs.join(inter, ["doc_id_l", "doc_id_r"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_l"), F.col("n_sh").alias("n_l")),
             "doc_id_l",
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_id_r"), F.col("sh").alias("sh_r")),
+            sizes.select(F.col("doc_id").alias("doc_id_r"), F.col("n_sh").alias("n_r")),
             "doc_id_r",
         )
+        .withColumn("_i", F.coalesce(F.col("n_inter"), F.lit(0)))
         .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_l", "sh_r"))
-            / F.size(F.array_union("sh_l", "sh_r")),
+            "jaccard", F.col("_i") / (F.col("n_l") + F.col("n_r") - F.col("_i"))
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_l", "doc_id_r", "jaccard")
@@ -209,35 +230,43 @@ def ngram_jaccard_pairs(
     return out
 
 
-def simhash64(col: Column) -> Column:
-    """64-bit SimHash over whitespace tokens: per-token md5 bits,
-    majority vote per bit position. Pure expressions (bit tricks over
-    two 32-bit halves to stay in long arithmetic)."""
-    tokens = F.split(_norm_text(col), " ")
-    # token hash -> 64-bit long from md5 hex (first 16 hex chars)
-    th = F.transform(
-        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+SIMHASH_BITS = 60
+
+
+def simhash_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash over whitespace tokens —
+    per-token md5 bits, majority vote per bit position.
+
+    Plan shape chosen for scale (same rationale as minhash_signatures):
+    explode tokens -> one md5 per token -> groupBy(doc_id) with 60
+    codegen'd bit-slice sums + a count, then one select folds the
+    majority votes back into a long.  Map-side partial aggregation
+    collapses each partition to one row per doc before the shuffle and
+    everything stays in whole-stage codegen.  (The previous
+    implementation ran 60 interpreted ``F.aggregate`` HOF passes over
+    the token array per row — the documented HOF-degradation trap.)
+
+    Duplicate tokens vote multiply (standard SimHash). Docs whose text
+    is NULL are dropped; empty text hashes the single empty token.
+    """
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("t"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    # majority vote per bit: sum over tokens of bit b, compare to n/2
-    n = F.size(tokens)
-    bits = [
-        F.when(
-            F.aggregate(
-                th,
-                F.lit(0),
-                lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
-            )
-            * 2
-            > n,
-            F.lit(1).cast("long"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        for b in range(60)
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(SIMHASH_BITS)
     ]
-    out = F.lit(0).cast("long")
-    for b, bit in enumerate(bits):
-        out = out + F.shiftleft(bit, b)
-    return out
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(
+            F.col(f"_b{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_buckets(
@@ -245,7 +274,7 @@ def simhash_buckets(
 ) -> DataFrame:
     """(doc_id, band, key) LSH rows over the 60-bit simhash; docs within
     Hamming distance 3 share >= 1 of the 4 bands (pigeonhole)."""
-    sim = docs.select(F.col("doc_id"), simhash64(F.col(text_col)).alias("simhash"))
+    sim = simhash_table(docs, text_col)
     bands = [
         F.struct(
             F.lit(b).alias("band"),
@@ -253,7 +282,7 @@ def simhash_buckets(
             .bitwiseAND(F.lit((1 << band_bits) - 1))
             .alias("key"),
         )
-        for b in range(60 // band_bits)
+        for b in range(SIMHASH_BITS // band_bits)
     ]
     return sim.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("bk")

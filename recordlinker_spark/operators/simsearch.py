@@ -80,11 +80,10 @@ def hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     ]
 
 
-def signature_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Bucket id = sign bits against each hyperplane."""
-    bits = []
-    for i, plane in enumerate(planes):
-        dot = F.aggregate(
+def plane_dots(vec: Column, planes: list[list[float]]) -> list[Column]:
+    """Per-hyperplane dot products (codegen zip_with/aggregate)."""
+    return [
+        F.aggregate(
             F.zip_with(
                 vec,
                 F.array(*[F.lit(p) for p in plane]),
@@ -93,11 +92,48 @@ def signature_col(vec: Column, planes: list[list[float]]) -> Column:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        for plane in planes
+    ]
+
+
+def signature_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign bits against each hyperplane."""
+    bits = [
+        F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, dot in enumerate(plane_dots(vec, planes))
+    ]
     out = bits[0]
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def probe_buckets_col(vec: Column, planes: list[list[float]], nprobe: int) -> Column:
+    """Multi-probe bucket list: the home bucket plus the ``nprobe - 1``
+    Hamming-1 neighbors whose hyperplane the query sits closest to
+    (smallest |dot| — the standard multi-probe LSH heuristic: the
+    planes most likely to have mis-signed a true neighbor)."""
+    dots = plane_dots(vec, planes)
+    home = signature_col(vec, planes)
+    if nprobe <= 1:
+        return F.array(home)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(d).alias("adot"),
+                    F.lit(i).alias("i"),
+                    F.lit(1 << i).alias("mask"),
+                )
+                for i, d in enumerate(dots)
+            ]
+        )
+    )
+    flips = F.transform(
+        F.slice(ranked, 1, min(nprobe - 1, len(planes))),
+        lambda s: home.bitwiseXOR(s["mask"]),
+    )
+    return F.concat(F.array(home), flips)
 
 
 def ivf_topk(
@@ -107,25 +143,48 @@ def ivf_topk(
     dim: int = 64,
     nbits: int = 6,
     seed: int = 42,
+    nprobe: int = 1,
+    max_bucket_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Bucketed ANN: sign-LSH into 2^nbits buckets, exact rescoring
-    within the query's bucket. Recall < 1 by design; the candidate join
-    is bucket-local (equi-join Catalyst can hash-partition)."""
+    within the query's probed buckets.
+
+    Recall < 1 by design but tunable: ``nprobe`` > 1 additionally
+    probes the Hamming-1 neighbor buckets across the query's closest
+    hyperplanes (multi-probe LSH). ``max_bucket_size`` drops corpus
+    buckets above the cap (skew guard — a degenerate bucket holding
+    half the corpus would otherwise recreate the brute-force join);
+    dropped buckets trade recall for a bounded per-bucket join, same
+    mitigation as minhash LSH. The candidate join is bucket-local
+    (equi-join, hash-partitioned) and each candidate is rescored once
+    even when several probes find it."""
     planes = hyperplanes(dim, nbits, seed)
     c = corpus.select(
         F.col(id_col), F.col(vec_col), signature_col(F.col(vec_col), planes).alias("_b")
     )
+    if max_bucket_size is not None:
+        sizes = c.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+        c = c.join(
+            F.broadcast(sizes.filter(F.col("_n") <= max_bucket_size).select("_b")),
+            "_b",
+        )
     q = queries.select(
         "query_id",
         F.col(vec_col).alias("_qv"),
-        signature_col(F.col(vec_col), planes).alias("_b"),
+        F.explode(
+            probe_buckets_col(F.col(vec_col), planes, nprobe)
+        ).alias("_b"),
     )
-    scored = c.join(q, "_b").select(
-        "query_id",
-        id_col,
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 9).alias("cos"),
+    scored = (
+        c.join(q, "_b")
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 9).alias("cos"),
+        )
+        .dropDuplicates(["query_id", id_col])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
     return (

@@ -330,7 +330,12 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     dupes = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    return exact_duplicates(docs.unionByName(dupes))
+    out = exact_duplicates(docs.unionByName(dupes))
+    # array_join the doc_ids: the driver gate's canonicalizer hashes
+    # scalar cells only (pandas can't factorize list cells)
+    return out.select(
+        "dup_key", "n_docs", F.array_join("doc_ids", ",").alias("doc_ids")
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,21 +464,20 @@ def q_tuning_class_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidates via banded MinHash (rows-only check: the
-    band/bucket join is deterministic but painful as one SQL string;
-    signature determinism is oracle-checked by minhash_sigs)."""
+    """Near-dup candidates via banded MinHash; the oracle replays the
+    band/bucket join over the same signature CTE in DuckDB."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     dupes = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     return minhash_lsh_pairs(
         docs.unionByName(dupes), num_hashes=16, bands=4, seed=7
-    ).orderBy("doc_id_l", "doc_id_r")
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash LSH rows (rows-only: 60 per-bit majority votes
-    as one SQL oracle string is impractical; determinism tested)."""
+    """60-bit SimHash LSH rows; the oracle replays the per-bit majority
+    vote with 60 generated bit-slice sums in DuckDB."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
@@ -481,15 +485,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN (recall < 1 by design -> rows-only; the exact
-    variant embedding_topk carries the oracle)."""
+    """Multi-probe bucketed ANN (recall < 1 vs brute force by design,
+    but the output itself is deterministic given the seed — the oracle
+    replays bucket assignment, probing and rescoring in DuckDB)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=5, dim=64, nbits=4).select(
-        "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank"
-    )
+    return ivf_topk(
+        emb, queries, k=5, dim=64, nbits=4, nprobe=3, max_bucket_size=100000
+    ).select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,7 +616,7 @@ def oracle_queries() -> dict[str, str]:
         )
         select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as dup_key,
                count(*) as n_docs,
-               list_sort(list(doc_id)) as doc_ids
+               array_to_string(list_sort(list(doc_id)), ',') as doc_ids
         from corpus
         group by 1 having count(*) > 1
     """
@@ -803,6 +808,139 @@ def oracle_queries() -> dict[str, str]:
           select r.a, s.dst from reach r join sym s on r.b = s.src
         )
         select a as node, min(b) as component from reach group by a
+    """
+
+    # --- minhash_lsh_pairs: replay signatures + banding + bucket join
+    coeffs16 = _minhash_coeffs(16, seed=7)
+    sig16 = ", ".join(
+        f"min((h * {a} + {b}) % {MERSENNE}) as h{i}"
+        for i, (a, b) in enumerate(coeffs16)
+    )
+    band_rows = "\n          union all ".join(
+        f"select doc_id, {b} as band, concat_ws(',', h{4 * b}, h{4 * b + 1},"
+        f" h{4 * b + 2}, h{4 * b + 3}) as bucket from sigs"
+        for b in range(4)
+    )
+    out["minhash_lsh_pairs"] = f"""
+        with corpus as (
+          select cast(doc_id as bigint) as doc_id, text from documents
+          union all
+          select cast(doc_id as bigint) + 1000000, text from documents
+        ),
+        sh as (
+          select doc_id,
+                 unnest(list_distinct([substr(t, i, 5)
+                   for i in range(1, greatest(length(t) - 4, 1) + 1)])) as s
+          from (select doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as t
+                from corpus)
+        ),
+        hashed as (
+          select doc_id,
+                 cast(concat('0x', substr(md5(s), 1, 7)) as bigint) as h
+          from sh
+        ),
+        sigs as (select doc_id, {sig16} from hashed group by doc_id),
+        banded as (
+          {band_rows}
+        ),
+        ok as (
+          select band, bucket from banded
+          group by band, bucket having count(*) <= 1000
+        ),
+        fb as (select b.* from banded b join ok using (band, bucket))
+        select distinct l.doc_id as doc_id_l, r.doc_id as doc_id_r
+        from fb l join fb r
+          on l.band = r.band and l.bucket = r.bucket and l.doc_id < r.doc_id
+    """
+
+    # --- simhash: replay the 60 per-bit majority votes
+    bit_sums = ", ".join(f"sum((h >> {b}) & 1) as b{b}" for b in range(60))
+    sim_terms = " + ".join(
+        f"(case when 2 * b{b} > n then cast({1 << b} as bigint)"
+        " else cast(0 as bigint) end)"
+        for b in range(60)
+    )
+    out["simhash"] = f"""
+        with toks as (
+          select cast(doc_id as bigint) as doc_id,
+                 unnest(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) as t
+          from documents
+        ),
+        hashed as (
+          select doc_id,
+                 cast(concat('0x', substr(md5(t), 1, 15)) as bigint) as h
+          from toks
+        ),
+        votes as (select doc_id, count(*) as n, {bit_sums} from hashed group by doc_id),
+        sim as (select doc_id, cast({sim_terms} as bigint) as simhash from votes)
+        select doc_id, simhash, band,
+               cast((simhash >> (band * 15)) & 32767 as bigint) as key
+        from sim cross join (select unnest([0, 1, 2, 3]) as band) bands
+    """
+
+    # --- ivf_topk: replay bucket assignment + multi-probe + rescoring
+    from recordlinker_spark.operators.simsearch import hyperplanes
+
+    planes = hyperplanes(dim=64, nbits=4, seed=42)
+    plane_dots = ", ".join(
+        "list_dot_product(v, [{}]) as d{}".format(
+            ", ".join(repr(p) for p in plane), i
+        )
+        for i, plane in enumerate(planes)
+    )
+    home_bits = " + ".join(
+        f"(case when d{i} >= 0 then {1 << i} else 0 end)" for i in range(4)
+    )
+    qdot_rows = "\n          union all ".join(
+        f"select query_id, home, {i} as i, d{i} as d from q" for i in range(4)
+    )
+    out["ivf_topk"] = f"""
+        with e as (
+          select vec_id, [cast(x as double) for x in embedding] as v
+          from embeddings
+        ),
+        d as (select vec_id, v, {plane_dots} from e),
+        b as (select vec_id, v, d0, d1, d2, d3, {home_bits} as home from d),
+        cok as (select home as bucket from b group by home having count(*) <= 100000),
+        c as (select vec_id, v, home as bucket from b join cok on b.home = cok.bucket),
+        q as (select vec_id as query_id, v as qv, home, d0, d1, d2, d3
+              from b where vec_id < 8),
+        qdots as (
+          {qdot_rows}
+        ),
+        flipranked as (
+          select query_id, home, i,
+                 row_number() over (partition by query_id order by abs(d), i) as rn
+          from qdots
+        ),
+        probes as (
+          select query_id, home as bucket from q
+          union all
+          select query_id, xor(home, 1 << i) as bucket from flipranked where rn <= 2
+        ),
+        cand as (
+          select distinct p.query_id, c.vec_id
+          from probes p join c on c.bucket = p.bucket
+        ),
+        scored as (
+          select cand.query_id, cand.vec_id,
+                 round(list_dot_product(c0.v, q.qv)
+                       / (sqrt(list_dot_product(c0.v, c0.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 9) as cos
+          from cand
+          join e c0 on c0.vec_id = cand.vec_id
+          join q on q.query_id = cand.query_id
+        ),
+        ranked as (
+          select query_id, vec_id, cos,
+                 row_number() over (partition by query_id
+                                    order by cos desc, vec_id) as rank
+          from scored
+        )
+        select query_id, vec_id, round(cos, 6) as cos, cast(rank as int) as rank
+        from ranked where rank <= 5
     """
 
     out["tuning_class_probs"] = f"""

@@ -1,0 +1,224 @@
+"""Unit tests for the corpus-dedup + similarity-search operators.
+
+These operators have no reference counterpart (RecordLinker dedups
+records via linkage, not corpora), so correctness is pinned two ways:
+the DuckDB oracles in plans/demo.py (driver gate) and the independent
+pure-Python twins here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1 (casefold)
+    (3, "The quick brown fox jumped over the lazy dog"),  # near dup
+    (4, "Completely different text about spark pipelines"),
+    (5, ""),  # empty doc
+    (6, "The  quick   brown fox jumps over the lazy dog "),  # ws-collapsed dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _norm(t: str) -> str:
+    return re.sub(r"\s+", " ", t.lower()).strip()
+
+
+def _shingles(t: str, k: int = 5) -> set[str]:
+    t = _norm(t)
+    n = max(len(t) - k + 1, 1)
+    return {t[i : i + k] for i in range(n)}
+
+
+def test_exact_duplicates_groups(docs_df):
+    from recordlinker_spark.operators.dedup import exact_duplicates
+
+    groups = {
+        tuple(r["doc_ids"]): r["n_docs"]
+        for r in exact_duplicates(docs_df).collect()
+    }
+    assert groups == {(1, 2, 6): 3}
+
+
+def test_minhash_signature_python_twin(docs_df):
+    """Signature values match an independent pure-Python replay."""
+    from recordlinker_spark.operators.dedup import (
+        MERSENNE,
+        _minhash_coeffs,
+        minhash_signatures,
+    )
+
+    coeffs = _minhash_coeffs(4, seed=7)
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(docs_df, num_hashes=4, seed=7).collect()
+    }
+    for doc_id, text in DOCS:
+        hashes = [
+            int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+            for s in _shingles(text)
+        ]
+        want = [min((h * a + b) % MERSENNE for h in hashes) for a, b in coeffs]
+        assert got[doc_id] == want, doc_id
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    from recordlinker_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["doc_id_l"], r["doc_id_r"])
+        for r in minhash_lsh_pairs(docs_df, num_hashes=16, bands=8).collect()
+    }
+    # exact dups always collide in every band; the near-dup should be
+    # found by at least one 2-row band; the unrelated doc never pairs
+    assert {(1, 2), (1, 6), (2, 6)} <= pairs
+    assert (1, 3) in pairs or (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_matches_python_sets(spark, docs_df):
+    from recordlinker_spark.operators.dedup import ngram_jaccard_pairs
+
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 4)], "doc_id_l long, doc_id_r long"
+    )
+    got = {
+        (r["doc_id_l"], r["doc_id_r"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, cand, threshold=0.0).collect()
+    }
+    texts = dict(DOCS)
+    for l, r in [(1, 2), (1, 3), (1, 4), (3, 4)]:
+        a, b = _shingles(texts[l]), _shingles(texts[r])
+        want = len(a & b) / len(a | b)
+        assert got[(l, r)] == pytest.approx(want, abs=1e-12), (l, r)
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 4)] < 0.1
+
+
+def test_simhash_python_twin(docs_df):
+    """SimHash values match an independent per-bit majority replay."""
+    from recordlinker_spark.operators.dedup import simhash_table
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash_table(docs_df).collect()}
+    for doc_id, text in DOCS:
+        toks = _norm(text).split(" ")
+        hashes = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks
+        ]
+        want = 0
+        for b in range(60):
+            if 2 * sum((h >> b) & 1 for h in hashes) > len(hashes):
+                want |= 1 << b
+        assert got[doc_id] == want, doc_id
+
+
+def test_simhash_near_dups_share_band(docs_df):
+    from recordlinker_spark.operators.dedup import simhash_buckets
+
+    rows = simhash_buckets(docs_df).collect()
+    sim = {r["doc_id"]: r["simhash"] for r in rows}
+    assert sim[1] == sim[2] == sim[6]
+    ham = bin(sim[1] ^ sim[3]).count("1")
+    keys = {}
+    for r in rows:
+        keys.setdefault(r["doc_id"], set()).add((r["band"], r["key"]))
+    if ham <= 3:  # pigeonhole guarantee: <=3 flipped bits, 4 bands
+        assert keys[1] & keys[3]
+    assert not (keys[1] & keys[4]) or bin(sim[1] ^ sim[4]).count("1") <= 45
+
+
+EMB = [
+    (i, [math.sin(0.1 * (i + 1) * (d + 1)) + 0.01 for d in range(8)])
+    for i in range(50)
+]
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.createDataFrame(EMB, "vec_id long, embedding array<float>")
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_brute_force_topk_exact(spark, emb_df):
+    from recordlinker_spark.operators.simsearch import brute_force_topk
+
+    queries = emb_df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(emb_df, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    emb_f = {i: [float(f"{x:.30g}") for x in v] for i, v in EMB}
+    for qid in (0, 1):
+        want = sorted(
+            range(50),
+            key=lambda i: (-round(_cos_f32(emb_f[i], emb_f[qid]), 9), i),
+        )[:3]
+        assert [v for _, v in sorted(by_q[qid])] == want
+
+
+def _cos_f32(a, b):
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    a = [f32(x) for x in a]
+    b = [f32(x) for x in b]
+    return _cos(a, b)
+
+
+def test_ivf_multiprobe_improves_recall(spark, emb_df):
+    """nprobe=3 recall >= nprobe=1 recall, both vs brute force."""
+    from recordlinker_spark.operators.simsearch import brute_force_topk, ivf_topk
+
+    queries = emb_df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb_df, queries, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(
+                emb_df, queries, k=5, dim=8, nbits=4, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 > 0.5
+
+
+def test_ivf_bucket_cap_drops_hot_bucket(spark):
+    """A degenerate corpus (all vectors identical) lands in one bucket;
+    the cap drops it, bounding the per-bucket join."""
+    from recordlinker_spark.operators.simsearch import ivf_topk
+
+    hot = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(100)], "vec_id long, embedding array<float>"
+    )
+    queries = hot.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    capped = ivf_topk(
+        hot, queries, k=5, dim=8, nbits=4, nprobe=1, max_bucket_size=50
+    )
+    assert capped.count() == 0
+    uncapped = ivf_topk(hot, queries, k=5, dim=8, nbits=4, nprobe=1)
+    assert uncapped.count() == 5
