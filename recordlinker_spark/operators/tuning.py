@@ -84,9 +84,24 @@ def _tuning_feats(patients: DataFrame, algorithm: Algorithm | None) -> DataFrame
 
 
 def sample_true_match_pairs(
-    patients: DataFrame, n_pairs: int, seed: int = 42
+    patients: DataFrame,
+    n_pairs: int,
+    seed: int = 42,
+    max_pairs_per_record: int | None = 64,
 ) -> DataFrame:
-    """J5: (record_id_l, record_id_r) same-cluster pairs, seeded random."""
+    """J5: (record_id_l, record_id_r) same-cluster pairs, seeded random.
+
+    Matches the reference's SQL semantics (same-cluster self-join,
+    ORDER BY random() LIMIT n, mpi_service.py:577-614) with one
+    scale guard the reference's single-node SQL doesn't need: a
+    mega-cluster of C patients would materialize C^2/2 pairs before
+    the sample, so each left record keeps at most
+    ``max_pairs_per_record`` partners (deterministic md5 order) —
+    a cluster then contributes O(C * cap) rows, and the final
+    seeded sample runs as a per-partition top-n (TakeOrdered), not a
+    global sort.  For clusters smaller than the cap (every shipped
+    corpus) the candidate set — hence the sample distribution — is
+    identical to the reference's."""
     left = patients.select(
         F.col("record_id").alias("record_id_l"), "person_id"
     ).filter(F.col("person_id").isNotNull())
@@ -96,6 +111,15 @@ def sample_true_match_pairs(
     pairs = left.join(right, "person_id").filter(
         F.col("record_id_l") < F.col("record_id_r")
     )
+    if max_pairs_per_record is not None:
+        w = Window.partitionBy("record_id_l").orderBy(
+            F.md5(F.concat_ws("\x1f", "record_id_l", "record_id_r", F.lit(seed)))
+        )
+        pairs = (
+            pairs.withColumn("_pp", F.row_number().over(w))
+            .filter(F.col("_pp") <= max_pairs_per_record)
+            .drop("_pp")
+        )
     return (
         pairs.orderBy(F.rand(seed))
         .limit(n_pairs)
@@ -260,6 +284,27 @@ def estimate_rms_bounds(
     return bounds
 
 
+def check_mpi_non_empty(patients: DataFrame) -> bool:
+    """True when the MPI holds NO patients (mpi_service.py:550-555)."""
+    return patients.limit(1).count() == 0
+
+
+def check_cluster_structure(patients: DataFrame) -> tuple[bool, int]:
+    """(acceptable, n_person_clusters): tuning needs >1 cluster and at
+    least one cluster of size >1 (mpi_service.py:558-574 — equal
+    patient and person counts means every cluster is a singleton)."""
+    row = (
+        patients.filter(F.col("person_id").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n_patients"),
+            F.countDistinct("person_id").alias("n_persons"),
+        )
+        .collect()[0]
+    )
+    acceptable = (row["n_patients"] != row["n_persons"]) and row["n_persons"] > 1
+    return acceptable, row["n_persons"]
+
+
 def tune(
     patients: DataFrame,
     algorithm: Algorithm,
@@ -267,12 +312,44 @@ def tune(
     n_non_pairs: int = 1000,
     sample_size: int = 100000,
     seed: int = 42,
+    enforce_minimums: bool = True,
 ) -> TuningResult:
     """The full tuning job (tuning/base.py:129-224): sample -> class
     probs -> log-odds -> re-sample scores -> RMS windows.
 
+    Pre-flight guards mirror tuning/base.py:39-91: minimum request
+    sizes, a non-empty MPI, and an acceptable cluster structure.
+    ``enforce_minimums=False`` relaxes only the request-size floors
+    (for small test corpora); the structural guards always run.
+
     :param patients: pii columns + ``person_id`` cluster labels.
     """
+    if enforce_minimums:
+        if n_true_pairs < 1000:
+            raise ValueError(
+                "Too few true match pairs requested: minimum permitted "
+                f"1000, {n_true_pairs} requested"
+            )
+        if sample_size < 10000:
+            raise ValueError(
+                "Too few non match samples requested: minimum permitted "
+                f"10000, {sample_size} requested"
+            )
+        if n_non_pairs < 1000:
+            raise ValueError(
+                "Too few non match pairs requested: minimum permitted "
+                f"1000, {n_non_pairs} requested"
+            )
+    if check_mpi_non_empty(patients):
+        raise ValueError("MPI contains no patient data")
+    acceptable, n_persons = check_cluster_structure(patients)
+    if not acceptable:
+        raise ValueError(
+            "MPI has person structure that does not support tuning: must "
+            "have num_person_clusters greater than 1 and less than "
+            f"num_patients, have {n_persons}"
+        )
+
     raw_feats = _tuning_feats(patients, algorithm).cache()
 
     true_pairs = sample_true_match_pairs(raw_feats, n_true_pairs, seed).cache()

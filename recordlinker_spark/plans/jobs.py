@@ -143,26 +143,124 @@ def job_reset(spark: SparkSession, args) -> None:
     shutil.rmtree(args.mpi, ignore_errors=True)
 
 
-def job_orphans(spark: SparkSession, args) -> None:
+def _rewrite_mpi(df: DataFrame, path: str) -> None:
+    """Replace the MPI table contents (parquet is immutable: write a
+    sibling then swap — the batch analog of a transactional delete)."""
+    import os
+
+    tmp = path.rstrip("/") + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def job_delete(spark: SparkSession, args) -> None:
+    """Granular deletes — the batch analog of DELETE /patient/{id} and
+    DELETE /person/{id} (mpi_service.py:464-499, patient_router.py:187-203).
+
+    * ``--record-ids``: drop those patients from the MPI (blocking
+      values are derived at link time, so nothing else to clean).
+    * ``--person-ids``: refuse while the person still has patients
+      (the reference's check_person_for_patients guard,
+      mpi_service.py:493-499); with a ``--persons`` registry, remove
+      the ids from it.
+    """
     mpi = _read_mpi(spark, args.mpi)
-    n = mpi.filter(F.col("person_id").isNull()).count()
-    print(json.dumps({"orphaned_patients": n}))
+    report: dict = {}
+    if getattr(args, "record_ids", None):
+        ids = [s for s in args.record_ids.split(",") if s]
+        kept = mpi.filter(~F.col("record_id").isin(ids))
+        report["patients_deleted"] = mpi.count() - kept.count()
+        _rewrite_mpi(kept, args.mpi)
+        mpi = _read_mpi(spark, args.mpi)
+    if getattr(args, "person_ids", None):
+        ids = [s for s in args.person_ids.split(",") if s]
+        with_patients = [
+            r["person_id"]
+            for r in mpi.filter(F.col("person_id").isin(ids))
+            .select("person_id")
+            .distinct()
+            .collect()
+        ]
+        if with_patients:
+            raise ValueError(
+                f"Persons still have patients: {sorted(with_patients)}"
+            )
+        report["persons_deleted"] = len(ids)
+        if getattr(args, "persons", None):
+            persons = spark.read.parquet(args.persons)
+            _rewrite_mpi(
+                persons.filter(~F.col("person_id").isin(ids)), args.persons
+            )
+    print(json.dumps(report))
+
+
+def job_orphans(spark: SparkSession, args) -> None:
+    """Orphaned patients (NULL person, mpi_service.py:502-521) and —
+    when a persons registry is given — orphaned persons: registry ids
+    with no patient (mpi_service.py:524-547, the NOT EXISTS anti-join
+    re-expressed as a left-anti join)."""
+    mpi = _read_mpi(spark, args.mpi)
+    orphan_patients = mpi.filter(F.col("person_id").isNull())
+    report = {
+        "orphaned_patients": orphan_patients.count(),
+        "orphaned_patient_ids": [
+            r["record_id"]
+            for r in orphan_patients.select("record_id")
+            .orderBy("record_id")
+            .limit(50)
+            .collect()
+        ],
+    }
+    if getattr(args, "persons", None):
+        persons = spark.read.parquet(args.persons).select("person_id").distinct()
+        orphan_persons = persons.join(
+            mpi.select("person_id").filter(F.col("person_id").isNotNull()),
+            "person_id",
+            "left_anti",
+        )
+        report["orphaned_persons"] = orphan_persons.count()
+        report["orphaned_person_ids"] = [
+            r["person_id"]
+            for r in orphan_persons.orderBy("person_id").limit(50).collect()
+        ]
+    print(json.dumps(report))
 
 
 def _algorithm(args) -> Algorithm:
-    return dibbs_default()
+    """--algorithm JSON (reference config format, validated) or the
+    built-in dibbs-default (assets/testing_algorithms.json parity)."""
+    path = getattr(args, "algorithm", None)
+    if not path:
+        return dibbs_default()
+    from recordlinker_spark.algorithms import load_algorithm
+
+    return load_algorithm(path, getattr(args, "algorithm_label", None))
 
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="recordlinker-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("seed", "link", "match", "cluster", "tune", "reset", "orphans"):
+    for name in (
+        "seed", "link", "match", "cluster", "tune", "reset", "orphans", "delete",
+    ):
         sp = sub.add_parser(name)
         sp.add_argument("--documents")
         sp.add_argument("--labels")
         sp.add_argument("--mpi")
         sp.add_argument("--out")
         sp.add_argument("--n-pairs", type=int, default=1000)
+        sp.add_argument("--algorithm", help="algorithm-config JSON path")
+        sp.add_argument("--persons", help="persons registry parquet (orphans)")
+        sp.add_argument("--record-ids", help="comma-joined patient ids (delete)")
+        sp.add_argument("--person-ids", help="comma-joined person ids (delete)")
+        sp.add_argument(
+            "--algorithm-label", help="label to pick from a multi-algorithm file"
+        )
     args = p.parse_args(argv)
     spark = _spark()
     if args.cmd == "seed":
@@ -179,6 +277,8 @@ def main(argv: list[str] | None = None) -> None:
         job_reset(spark, args)
     elif args.cmd == "orphans":
         job_orphans(spark, args)
+    elif args.cmd == "delete":
+        job_delete(spark, args)
 
 
 if __name__ == "__main__":

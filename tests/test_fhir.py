@@ -1,0 +1,192 @@
+"""FHIR bundle ingest: field mapping parity (hl7/fhir.py:26-66) and
+end-to-end linkage over the reference's own FHIR fixture."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from recordlinker_spark.sources.fhir import (
+    add_person_resource,
+    parse_fhir_bundles,
+)
+
+REF_BUNDLE = (
+    "/root/reference/tests/unit/assets/simple_patient_bundle_to_link_with_mpi.json"
+)
+
+
+def _bundle(resource: dict) -> str:
+    return json.dumps({"resourceType": "Bundle", "entry": [{"resource": resource}]})
+
+
+FULL_PATIENT = {
+    "resourceType": "Patient",
+    "id": "pat-1",
+    "gender": "female",
+    "birthDate": "1985-07-04",
+    "name": [
+        {
+            "family": "  Smith ",
+            "given": ["Jane", " Q "],
+            "suffix": ["JR"],
+            "use": "official",
+        }
+    ],
+    "address": [
+        {
+            "line": ["123 Main Street", "Apt 4"],
+            "city": "Boston",
+            "state": "Massachusetts",
+            "postalCode": "02101",
+            "district": "Suffolk",
+        }
+    ],
+    "telecom": [
+        {"system": "phone", "value": "+1 (555) 123-4567"},
+        {"system": "email", "value": "  Jane.Smith@EXAMPLE.com "},
+    ],
+    "identifier": [
+        {
+            "value": "123456789",
+            "type": {"coding": [{"code": "SS"}]},
+            "assigner": {"identifier": {"value": "SSA"}},
+        },
+        {
+            "value": "MRN-77",
+            "type": {"coding": [{"code": "MR"}, {"code": "PI"}]},
+        },
+    ],
+    "extension": [
+        {
+            "url": "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race",
+            "extension": [
+                {"url": "ombCategory", "valueCoding": {"display": "White"}},
+                {"url": "ombCategory", "valueCoding": {"display": "Asian"}},
+            ],
+        }
+    ],
+}
+
+
+def test_field_mapping(spark):
+    df = spark.createDataFrame(
+        [("d1", _bundle(FULL_PATIENT))], "doc_id string, bundle string"
+    )
+    row = parse_fhir_bundles(df).collect()[0].asDict(recursive=True)
+    assert row["record_id"] == "d1"
+    assert row["external_id"] == "pat-1"
+    assert row["sex"] == "F"
+    assert row["birth_date"] == "1985-07-04"
+    # pydantic Name validator: whitespace strip + suffix canonicalized
+    assert row["name"] == [
+        {"family": "Smith", "given": ["Jane", "Q"], "suffix": ["Jr"], "use": "official"}
+    ]
+    # Address: USPS street suffix, state code, district -> county
+    assert row["address"] == [
+        {
+            "line": ["123 Main ST", "Apt 4"],
+            "city": "Boston",
+            "state": "MA",
+            "postal_code": "02101",
+            "county": "Suffolk",
+        }
+    ]
+    # Telecom: phone digits (US country code stripped), email lowercase
+    assert row["telecom"] == [
+        {"value": "5551234567", "system": "phone"},
+        {"value": "jane.smith@example.com", "system": "email"},
+    ]
+    assert row["race"] == ["WHITE", "ASIAN"]
+    # identifier coding fan-out + SS hyphenation + authority
+    assert row["identifiers"] == [
+        {"type": "SS", "value": "123-45-6789", "authority": "SSA"},
+        {"type": "MR", "value": "MRN-77", "authority": ""},
+        {"type": "PI", "value": "MRN-77", "authority": ""},
+    ]
+    assert row["spans"] is None
+
+
+def test_bundle_without_patient_yields_empty_record(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "d0",
+                json.dumps(
+                    {
+                        "resourceType": "Bundle",
+                        "entry": [{"resource": {"resourceType": "Observation"}}],
+                    }
+                ),
+            )
+        ],
+        "doc_id string, bundle string",
+    )
+    row = parse_fhir_bundles(df).collect()[0]
+    assert row["record_id"] == "d0"
+    assert row["external_id"] is None
+    assert row["name"] == [] and row["identifiers"] == []
+
+
+def test_first_patient_resource_wins(spark):
+    two = {
+        "resourceType": "Bundle",
+        "entry": [
+            {"resource": {**FULL_PATIENT, "id": "first"}},
+            {"resource": {**FULL_PATIENT, "id": "second"}},
+        ],
+    }
+    df = spark.createDataFrame(
+        [("d2", json.dumps(two))], "doc_id string, bundle string"
+    )
+    assert parse_fhir_bundles(df).collect()[0]["external_id"] == "first"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BUNDLE), reason="reference absent")
+def test_reference_fixture_reproduces_link_decisions(spark):
+    """The reference's 6-patient FHIR fixture, ingested through the
+    engine FHIR source, reproduces the linking-suite decisions
+    (reference test_link.py:298-337: match vector + cluster sizes)."""
+    from recordlinker_spark.config import dibbs_default
+    from recordlinker_spark.plans.replay import replay_link
+
+    with open(REF_BUNDLE) as fh:
+        entries = json.load(fh)["entry"]
+    patients = [
+        e["resource"]
+        for e in entries
+        if e.get("resource", {}).get("resourceType") == "Patient"
+    ]
+    assert len(patients) == 6
+    rows = [(f"r{i}", _bundle(p)) for i, p in enumerate(patients)]
+    records = parse_fhir_bundles(
+        spark.createDataFrame(rows, "doc_id string, bundle string")
+    )
+    steps, _ = replay_link(
+        spark, records, dibbs_default(), order=[f"r{i}" for i in range(6)]
+    )
+    assert [s.final_grade == "certain" for s in steps] == [
+        False, True, False, True, False, False,
+    ]
+    sizes: dict[str, int] = {}
+    for s in steps:
+        if s.person_id is not None:
+            sizes[s.person_id] = sizes.get(s.person_id, 0) + 1
+    assert sorted(sizes.values()) == [1, 1, 1, 3]
+    mf1 = steps[1].results[0]["median_features"]
+    assert round(mf1["FIRST_NAME"], 3) == 6.393
+    assert round(mf1["LAST_NAME"], 3) == 6.351
+
+
+def test_add_person_resource():
+    bundle = {"entry": [{"resource": {"resourceType": "Patient", "id": "p0"}}]}
+    out = add_person_resource("per-1", "p0", bundle)
+    added = out["entry"][-1]
+    assert added["resource"]["resourceType"] == "Person"
+    assert added["resource"]["id"] == "per-1"
+    assert added["resource"]["link"] == [
+        {"target": {"reference": "Patient/p0"}}
+    ]
+    assert added["request"] == {"method": "PUT", "url": "Person/per-1"}

@@ -2,6 +2,7 @@
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from recordlinker_spark.plans import jobs
@@ -48,6 +49,69 @@ def test_seed_link_orphans(spark, tmp_path):
     assert spark.read.parquet(mpi_dir).count() == 3
 
     jobs.job_orphans(spark, A(mpi=mpi_dir))
+
+
+def test_orphans_reports_patients_and_persons(spark, tmp_path, capsys):
+    """Orphaned patients (NULL person) AND orphaned persons (registry
+    ids with no patients) — mpi_service.py:502-547 parity."""
+    mpi_dir = str(tmp_path / "mpi")
+    persons_dir = str(tmp_path / "persons")
+    docs = [(f"r{i}", p, []) for i, p in enumerate(SIX_PATIENTS[:3])]
+    spark.createDataFrame(docs_to_rows(docs), DOCUMENTS_SCHEMA).write.parquet(
+        str(tmp_path / "docs")
+    )
+    from recordlinker_spark.sources.ingest import parse_documents
+
+    records = parse_documents(spark.read.parquet(str(tmp_path / "docs")))
+    # r0 -> p0, r1 -> NULL (pending review), r2 -> p2
+    labels = spark.createDataFrame(
+        [("r0", "p0"), ("r1", None), ("r2", "p2")],
+        "record_id string, person_id string",
+    )
+    records.join(labels, "record_id").write.parquet(mpi_dir)
+    spark.createDataFrame(
+        [("p0",), ("p2",), ("p9",)], "person_id string"
+    ).write.parquet(persons_dir)
+
+    jobs.job_orphans(spark, A(mpi=mpi_dir, persons=persons_dir))
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["orphaned_patients"] == 1
+    assert report["orphaned_patient_ids"] == ["r1"]
+    assert report["orphaned_persons"] == 1
+    assert report["orphaned_person_ids"] == ["p9"]
+
+
+def test_delete_patients_and_persons(spark, tmp_path, capsys):
+    mpi_dir = str(tmp_path / "mpi")
+    docs = [(f"r{i}", p, []) for i, p in enumerate(SIX_PATIENTS[:3])]
+    spark.createDataFrame(docs_to_rows(docs), DOCUMENTS_SCHEMA).write.parquet(
+        str(tmp_path / "docs")
+    )
+    from recordlinker_spark.sources.ingest import parse_documents
+
+    records = parse_documents(spark.read.parquet(str(tmp_path / "docs")))
+    labels = spark.createDataFrame(
+        [("r0", "p0"), ("r1", "p0"), ("r2", "p2")],
+        "record_id string, person_id string",
+    )
+    records.join(labels, "record_id").write.parquet(mpi_dir)
+
+    # deleting a person that still has patients is refused (the
+    # reference's check_person_for_patients guard)
+    with pytest.raises(ValueError, match="still have patients"):
+        jobs.job_delete(spark, A(mpi=mpi_dir, person_ids="p2"))
+
+    jobs.job_delete(spark, A(mpi=mpi_dir, record_ids="r2"))
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["patients_deleted"] == 1
+    assert {
+        r["record_id"] for r in spark.read.parquet(mpi_dir).collect()
+    } == {"r0", "r1"}
+
+    # now p2 is empty and deletable
+    jobs.job_delete(spark, A(mpi=mpi_dir, person_ids="p2"))
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["persons_deleted"] == 1
 
 
 def test_cluster_bootstrap(spark, tmp_path):

@@ -164,3 +164,67 @@ def test_sampling_shapes(spark, corpus):
     assert all(r["pl"] != r["pr"] for r in rows)
     with pytest.raises(ValueError):
         sample_non_match_pairs(feats, 5, 100)
+
+
+def test_true_pair_sampling_bounded_on_mega_cluster(spark):
+    """Scale guard: one 40-member cluster yields at most
+    40 * max_pairs_per_record candidate pairs, not 40^2/2 — and small
+    clusters are unaffected by the cap."""
+    rows = [(f"m{i:03d}", "big") for i in range(40)] + [
+        ("s1", "small"), ("s2", "small")
+    ]
+    df = spark.createDataFrame(rows, "record_id string, person_id string")
+    capped = sample_true_match_pairs(df, 10**6, seed=2, max_pairs_per_record=5)
+    got = capped.collect()
+    assert len(got) <= 40 * 5 + 1
+    per_left: dict[str, int] = {}
+    for r in got:
+        per_left[r["record_id_l"]] = per_left.get(r["record_id_l"], 0) + 1
+    assert max(per_left.values()) <= 5
+    # the small cluster's single pair always survives
+    assert ("s1", "s2") in {(r["record_id_l"], r["record_id_r"]) for r in got}
+
+
+def test_tune_guards(spark, corpus):
+    """Pre-flight guards: request minimums (tuning/base.py:39-72) and
+    cluster-structure checks (mpi_service.py:550-574)."""
+    from recordlinker_spark.operators.tuning import (
+        check_cluster_structure,
+        check_mpi_non_empty,
+        tune,
+    )
+
+    records, _, _ = corpus
+    alg = dibbs_default()
+
+    with pytest.raises(ValueError, match="Too few true match pairs"):
+        tune(records, alg, n_true_pairs=10)
+    with pytest.raises(ValueError, match="Too few non match samples"):
+        tune(records, alg, sample_size=100)
+    with pytest.raises(ValueError, match="Too few non match pairs"):
+        tune(records, alg, n_non_pairs=10)
+
+    empty = records.filter(F.lit(False))
+    assert check_mpi_non_empty(empty)
+    with pytest.raises(ValueError, match="no patient data"):
+        tune(empty, alg, enforce_minimums=False)
+
+    # single monolith cluster (corpus fixture labels everyone 'x')
+    ok, n = check_cluster_structure(records)
+    assert not ok and n == 1
+    with pytest.raises(ValueError, match="does not support tuning"):
+        tune(records, alg, enforce_minimums=False)
+
+    # all-singletons: as many persons as patients
+    singletons = records.drop("person_id").withColumn(
+        "person_id", F.col("record_id")
+    )
+    ok, _ = check_cluster_structure(singletons)
+    assert not ok
+
+    # acceptable: pairs share persons, several persons
+    paired = records.drop("person_id").withColumn(
+        "person_id", F.regexp_extract("record_id", r"(t\d+)_", 1)
+    )
+    ok, n = check_cluster_structure(paired)
+    assert ok and n == 5
