@@ -95,6 +95,20 @@ def main() -> None:
     timed("ngram_jaccard", lambda: demo.q_ngram_jaccard(spark, SF_DIR).count())
     timed("exact_dedup", lambda: demo.q_exact_dedup(spark, SF_DIR).count())
     timed("embedding_topk", lambda: demo.q_embedding_topk(spark, SF_DIR).count())
+
+    # IVF ANN: time it AND report measured recall vs the exact top-k
+    def run_ivf():
+        truth = {
+            (r["query_id"], r["vec_id"])
+            for r in demo.q_embedding_topk(spark, SF_DIR).collect()
+        }
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in demo.q_ivf_topk(spark, SF_DIR).collect()
+        }
+        extras["ivf_recall"] = round(len(got & truth) / max(len(truth), 1), 4)
+
+    timed("ivf_topk", run_ivf)
     timed("token_stats", lambda: demo.q_token_stats(spark, SF_DIR).count())
     timed("quality_scores", lambda: demo.q_quality_scores(spark, SF_DIR).count())
     timed("language_id", lambda: demo.q_language_id(spark, SF_DIR).count())

@@ -44,6 +44,16 @@ __all__ = [
 ]
 
 
+# Worker-global memo for (measure, left, right) -> similarity.  Python
+# workers are long-lived (spark.python.worker.reuse default): blocking
+# makes the same value pairs recur across batches, not just within one,
+# so a per-batch cache re-pays the kernel cost every Arrow batch.
+# Bounded: reset when it outgrows the cap (names are short; 2M entries
+# is ~200MB worst case per worker).
+_PAIR_MEMO: dict = {}
+_PAIR_MEMO_CAP = 2_000_000
+
+
 @functools.lru_cache(maxsize=16)
 def multi_max_similarity_udf(measures: tuple[str, ...]):
     """One Arrow round-trip for a whole pass: 2N array<string> columns
@@ -57,7 +67,12 @@ def multi_max_similarity_udf(measures: tuple[str, ...]):
 
     @pandas_udf(T.ArrayType(T.DoubleType()))
     def _udf(*cols: pd.Series) -> pd.Series:
-        caches: list[dict] = [{} for _ in range(n)]
+        caches: list[dict] = []
+        for m in measures:
+            cache = _PAIR_MEMO.setdefault(m, {})
+            if len(cache) > _PAIR_MEMO_CAP:
+                cache.clear()
+            caches.append(cache)
 
         def one(row):
             sims = []

@@ -130,15 +130,28 @@ def blocked_persons(
     num_salts: int = 32,
     max_block_size: int | None = None,
     census_fraction: float = 0.02,
+    mpi_count: int | None = None,
 ) -> DataFrame:
     """J1+J2: distinct ``(record_id_l, person_id)`` candidate clusters.
+
+    Plan shape: every present-key subset's composite values are unioned
+    into ONE tagged ``(_sub, _block)`` frame per side, so the whole
+    pass is a single equi-join on ``(_sub, _block)`` — one exchange,
+    one dropDuplicates — instead of one join (and one skew census)
+    per subset.  Driver actions per pass are exactly two small jobs:
+    the subset collect and the unified census; profiling showed the
+    per-subset census alone cost a fixed ~0.6s x |subsets| x passes
+    of non-scaling driver time.
 
     :param incoming: records with ``record_id`` + ``bk_<KEY>`` columns
         (computed from the skip-cleaned record, link.py:224).
     :param mpi: patients with ``record_id``, ``person_id`` + ``bk_<KEY>``
         (raw, as stored at insert time, mpi_service.py:314-350).
+    :param mpi_count: known MPI row count (skips a counting pass when
+        the caller already materialized the projection).
     """
     keys = algorithm_pass.blocking_keys
+    spark = incoming.sparkSession
     inc = missingness_filter(incoming, algorithm, algorithm_pass)
     inc = inc.select("record_id", "_subset", *[f"bk_{k}" for k in keys])
 
@@ -148,73 +161,88 @@ def blocked_persons(
         if s["_subset"]
     ]
     if not subsets:
-        return incoming.sparkSession.createDataFrame(
-            [], "record_id_l string, person_id string"
-        )
+        return spark.createDataFrame([], "record_id_l string, person_id string")
 
     mpi_bk = mpi.select("record_id", "person_id", *[f"bk_{k}" for k in keys])
-    # a census can't find a hot block in an MPI smaller than the
-    # threshold — skip the extra pass entirely (tests/replay fast path)
-    census_needed = mpi_bk.count() > salt_threshold
 
-    pieces: list[DataFrame] = []
+    probe: DataFrame | None = None
+    build: DataFrame | None = None
     for subset in subsets:
-        probe = composite_values(
-            inc.filter(F.col("_subset") == ",".join(subset)), subset
-        ).select(F.col("record_id").alias("record_id_l"), "_block")
-        build = composite_values(mpi_bk, subset).select("person_id", "_block")
+        tag = ",".join(subset)
+        p = composite_values(
+            inc.filter(F.col("_subset") == tag), subset
+        ).select(
+            F.col("record_id").alias("record_id_l"),
+            F.lit(tag).alias("_sub"),
+            "_block",
+        )
+        b = composite_values(mpi_bk, subset).select(
+            "person_id", F.lit(tag).alias("_sub"), "_block"
+        )
+        probe = p if probe is None else probe.unionByName(p)
+        build = b if build is None else build.unionByName(b)
 
-        # ---- explicit skew handling: census -> hot/cold split + salting.
-        # The census runs on a small sample: a hot block (> threshold
-        # members) is huge by definition, so a 2% Bernoulli sample sees
-        # it with overwhelming probability (expected 100+ sampled rows
-        # at the default threshold) while costing 1/50th of the shuffle.
-        hot_rows = []
-        if census_needed:
-            frac = min(1.0, max(census_fraction, 200.0 / salt_threshold))
-            census = (
-                build.sample(fraction=frac, seed=42)
-                .groupBy("_block")
-                .count()
-                .withColumn("count", (F.col("count") / F.lit(frac)).cast("long"))
-            )
-            hot_rows = (
-                census.filter(F.col("count") > salt_threshold // 2)
-                .orderBy(F.desc("count"))
-                .limit(1024)
-                .collect()
-            )
-        capped = {
-            r["_block"]
-            for r in hot_rows
-            if max_block_size is not None and r["count"] > max_block_size
-        }
-        hot = [r["_block"] for r in hot_rows if r["_block"] not in capped]
-        if capped:
-            probe = probe.filter(~F.col("_block").isin(*capped))
-            build = build.filter(~F.col("_block").isin(*capped))
+    # ---- explicit skew handling: census -> hot/cold split + salting.
+    # One sampled census job covers every subset: a hot block
+    # (> threshold members) is huge by definition, so a small Bernoulli
+    # sample sees it with overwhelming probability (expected 100+
+    # sampled rows at the default threshold) at a fraction of the
+    # shuffle cost.  A census can't find a hot block in an MPI smaller
+    # than the threshold — skipped entirely (tests/replay fast path).
+    if mpi_count is None:
+        mpi_count = mpi_bk.count()
+    hot_rows = []
+    if mpi_count > salt_threshold:
+        frac = min(1.0, max(census_fraction, 200.0 / salt_threshold))
+        census = (
+            build.sample(fraction=frac, seed=42)
+            .groupBy("_sub", "_block")
+            .count()
+            .withColumn("count", (F.col("count") / F.lit(frac)).cast("long"))
+        )
+        hot_rows = (
+            census.filter(F.col("count") > salt_threshold // 2)
+            .orderBy(F.desc("count"))
+            .limit(4096)
+            .collect()
+        )
+    capped = {
+        (r["_sub"], r["_block"])
+        for r in hot_rows
+        if max_block_size is not None and r["count"] > max_block_size
+    }
+    hot = [
+        (r["_sub"], r["_block"])
+        for r in hot_rows
+        if (r["_sub"], r["_block"]) not in capped
+    ]
+    if capped:
+        capped_df = F.broadcast(
+            spark.createDataFrame(sorted(capped), "_sub string, _block string")
+        )
+        probe = probe.join(capped_df, ["_sub", "_block"], "left_anti")
+        build = build.join(capped_df, ["_sub", "_block"], "left_anti")
 
-        if hot:
-            cold = probe.filter(~F.col("_block").isin(*hot)).join(
-                build.filter(~F.col("_block").isin(*hot)), "_block"
-            )
-            salt = F.pmod(F.xxhash64("person_id"), F.lit(num_salts)).cast("int")
-            hot_build = build.filter(F.col("_block").isin(*hot)).withColumn(
-                "_salt", salt
-            )
-            hot_probe = probe.filter(F.col("_block").isin(*hot)).withColumn(
-                "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
-            )
-            salted = hot_probe.join(hot_build, ["_block", "_salt"]).drop("_salt")
-            matched = cold.unionByName(salted)
-        else:
-            matched = probe.join(build, "_block")
-        pieces.append(matched.select("record_id_l", "person_id"))
-
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out.dropDuplicates(["record_id_l", "person_id"])
+    if hot:
+        hot_df = F.broadcast(
+            spark.createDataFrame(sorted(hot), "_sub string, _block string")
+        )
+        cold = probe.join(hot_df, ["_sub", "_block"], "left_anti").join(
+            build.join(hot_df, ["_sub", "_block"], "left_anti"),
+            ["_sub", "_block"],
+        )
+        salt = F.pmod(F.xxhash64("person_id"), F.lit(num_salts)).cast("int")
+        hot_build = build.join(hot_df, ["_sub", "_block"]).withColumn("_salt", salt)
+        hot_probe = probe.join(hot_df, ["_sub", "_block"]).withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+        )
+        salted = hot_probe.join(hot_build, ["_sub", "_block", "_salt"]).drop("_salt")
+        matched = cold.unionByName(salted)
+    else:
+        matched = probe.join(build, ["_sub", "_block"])
+    return matched.select("record_id_l", "person_id").dropDuplicates(
+        ["record_id_l", "person_id"]
+    )
 
 
 def candidate_pairs(

@@ -128,6 +128,7 @@ def link_batch(
     algorithm: Algorithm,
     keep_pair_scores: bool = False,
     cache_intermediate: bool = False,
+    cache_feats: bool = True,
     **block_kwargs,
 ) -> LinkOutput:
     """Link a batch of incoming PII records against the MPI.
@@ -145,11 +146,35 @@ def link_batch(
         # whole MPI (the widest scan in the job)
         inc_bk = inc_bk.cache()
         mpi_bk = mpi_bk.cache()
-        inc_feats = inc_feats.cache()
-        mpi_feats = mpi_feats.cache()
+        warm_list = [mpi_bk, inc_bk]
+        if cache_feats:
+            # feats caching is a trade: it avoids re-extracting features
+            # per pass but pays a wide-array materialization barrier up
+            # front; with parsed records already cached, recomputing the
+            # (pure-expression) extraction inside the join pipeline can
+            # be cheaper — callers with expensive upstream sources keep
+            # the default
+            inc_feats = inc_feats.cache()
+            mpi_feats = mpi_feats.cache()
+            warm_list += [mpi_feats, inc_feats]
+        # materialize the cached projections BEFORE the pass threads
+        # fork: concurrent first-touch of an unmaterialized cache makes
+        # every branch compute all partitions (in-flight cache work
+        # doesn't dedupe), duplicating the widest scans of the job
+        # exactly when parallelism is highest.  The counts are
+        # independent jobs submitted from threads, so the warm-up
+        # itself uses the whole cluster; the known MPI count then
+        # spares blocked_persons a counting pass per pass.
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(max_workers=4) as warm:
+            counts = list(warm.map(lambda df: df.count(), warm_list))
+        block_kwargs.setdefault("mpi_count", counts[0])
 
     def build_pass(algorithm_pass):
-        pairs = candidate_pairs(inc_bk, mpi_bk, algorithm, algorithm_pass, **block_kwargs)
+        pairs = candidate_pairs(
+            inc_bk, mpi_bk, algorithm, algorithm_pass, **block_kwargs
+        )
         with_feats = attach_pair_features(pairs, inc_feats, mpi_feats, algorithm_pass)
         scored = score_pairs(with_feats, algorithm, algorithm_pass)
         if cache_intermediate:
@@ -161,7 +186,10 @@ def link_batch(
     # passes are independent until the fold; their driver-side actions
     # (subset collect, skew census) are small serial jobs, so submit
     # them from concurrent threads — Spark schedules the jobs in
-    # parallel and the cluster stays busy instead of round-tripping
+    # parallel and one pass's scoring overlaps the other's blocking.
+    # (A merged all-pass blocking plan with a cache barrier was
+    # measured SLOWER at 4N executors: the barrier serializes blocking
+    # against scoring and costs more than the saved stages.)
     import concurrent.futures
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:

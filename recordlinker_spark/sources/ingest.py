@@ -271,16 +271,18 @@ def parse_documents(
     No shuffle; the ``spans`` column passes through untouched (per-row
     invariant: span-sequence equality).
 
-    :param engine: ``sql`` (default) is the pure-Catalyst projection,
-        rebuilt on equality-only span filters after the HOF perf note
-        below; ``arrow`` decodes in ONE
-        ``mapInPandas`` pass — measured ~10x faster than the expression
-        path at 1M docs and, unlike interpreted higher-order functions,
-        it scales with cores (the nested ``aggregate``/``transform``/
-        ``regexp`` span decode is CodegenFallback: at local[32] it ran
-        2.3x SLOWER than local[8] from allocation/GC contention).
-        ``sql`` keeps the pure-Catalyst projection; both engines are
-        asserted identical in tests/test_ingest_engines.py.
+    :param engine: ``arrow`` (the default) decodes in ONE
+        ``mapInPandas`` pass — per-row Python, but Arrow-batched and
+        embarrassingly parallel; measured ~10x faster than the
+        expression path at 1M docs in this sandbox and, unlike
+        interpreted higher-order functions, it scales with cores (the
+        nested ``aggregate``/``transform``/``regexp`` span decode is
+        CodegenFallback: at local[32] it ran 2.3x SLOWER than local[8]
+        from allocation/GC contention).  ``sql`` keeps the
+        pure-Catalyst projection (equality-only span filters after the
+        HOF perf note above) — prefer it where JVM-side decode
+        outweighs Python worker transfer on real clusters; both
+        engines are asserted identical in tests/test_ingest_engines.py.
     """
     if engine == "arrow":
         return parse_documents_arrow(docs, today)

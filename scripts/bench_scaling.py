@@ -1,22 +1,28 @@
-"""Scaling-efficiency benchmark: the same link job at N and 4N cores.
+"""Scaling-efficiency benchmark: the same link job at N and 4N executors.
 
-BASELINE.md protocol: no real multi-node cluster exists in this
-sandbox, so the north rule's two-cluster-size criterion is evidenced
-by running the identical job on the identical input at ``local[2]``
-and ``local[8]`` (N=2 cores vs 4N=8; single-JVM local[32] showed
-unstable thread-contention noise in this sandbox, so the stable 2->8
-range evidences the core-scaling criterion) and reporting pairs-scored/sec at each plus
-``efficiency = (pairs_per_sec_32 / pairs_per_sec_8) / 4`` (target
->= 0.8).  Results land in BENCH/BASELINE.md.
+North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors.  No real multi-node cluster exists in this sandbox, so the
+protocol runs the identical job on identical input at two parallelism
+levels and reports pairs-scored/sec at each plus
+``efficiency = (pairs/sec at 4N) / (4 x pairs/sec at N)``.
 
-The workload is the flagship: a seeded synthetic span-document corpus
-(recordlinker_spark.synth), two-pass dibbs-default linkage of a 20%
-incoming batch against an 80% MPI.  The corpus is generated once and
-persisted to parquet so both runs read identical bytes; each
-parallelism level runs in a fresh JVM (subprocess) with a warmup pass
-excluded from timing.
+Two modes (SPARK_GRAFT_SCALE_MODE):
 
-Usage: python scripts/bench_scaling.py [n_persons] (default 40000)
+* ``executors`` (default) — ``local-cluster[1,2,M]`` vs
+  ``local-cluster[4,2,M]``: real separate executor JVMs (own heap, own
+  GC, netty shuffle, python workers per executor) driven through
+  ``--py-files``-style packaging (sc.addPyFile of the zipped package).
+  This is the faithful single-box proxy for 1 -> 4 executors: it scales
+  the executor count, not threads inside one heap.
+* ``threads`` — ``local[2]`` vs ``local[8]``: single-JVM core scaling.
+  Reported as a secondary datapoint; a single shared heap saturates
+  memory bandwidth / GC and understates multi-executor scaling.
+
+This sandbox shows +-20% run-to-run variance on identical Spark jobs,
+so each level runs a warmup plus 3 measured runs and reports the
+median.  Results land in BENCH/scaling.json + BENCH/BASELINE.md.
+
+Usage: python scripts/bench_scaling.py [n_persons] (default 400000)
 """
 
 from __future__ import annotations
@@ -25,33 +31,39 @@ import json
 import os
 import subprocess
 import sys
+import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CORPUS = os.environ.get("SPARK_GRAFT_SCALE_CORPUS", "/tmp/rlspark_scale_corpus")
+MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "executors")
+PKG_ZIP = "/tmp/recordlinker_spark_pkg.zip"
 
 RUN_ONE = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession, functions as F
 
-cpus = int(sys.argv[1])
-spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+master = sys.argv[1]
+cpus = int(sys.argv[2])
+spark = (SparkSession.builder.master(master)
          .appName(f"rlspark-scale-{{cpus}}")
-         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+         .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 16)))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.ui.enabled", "false")
-         .config("spark.driver.memory", "24g")
+         .config("spark.driver.memory", "12g")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
+if master.startswith("local-cluster"):
+    spark.sparkContext.addPyFile({pkg!r})
 
 from recordlinker_spark.config import dibbs_default
 from recordlinker_spark.sources.ingest import parse_documents
 from recordlinker_spark.operators.linkjob import link_batch
 
 docs = spark.read.parquet({corpus!r})
-records = parse_documents(docs.select("doc_id", "spans"))
-records = records.withColumnRenamed("doc_id", "record_id") \
-    if "doc_id" in records.columns else records
+# the link pipeline never touches the span payload after parsing;
+# caching it would only inflate executor storage memory
+records = parse_documents(docs.select("doc_id", "spans")).drop("spans")
 split = F.abs(F.xxhash64("record_id")) % 5
 incoming = records.filter(split == 0)
 truth = docs.select(F.col("doc_id").alias("record_id"), "person_key")
@@ -60,27 +72,33 @@ mpi = records.filter(split != 0).join(truth, "record_id") \
 incoming = incoming.cache(); mpi = mpi.cache()
 n_inc = incoming.count(); n_mpi = mpi.count()
 alg = dibbs_default()
+cache_feats = os.environ.get("SPARK_GRAFT_CACHE_FEATS", "0") == "1"
 
 def run():
     out = link_batch(incoming, mpi, alg, keep_pair_scores=True,
-                     cache_intermediate=True)
+                     cache_intermediate=True, cache_feats=cache_feats)
     n_pairs = out.pair_scores.count()
     n_dec = out.decisions.count()
-    out.pair_scores.unpersist()
     return n_pairs, n_dec
 
-# warmup (codegen + python workers), excluded from timing; caches are
-# cleared afterwards so the measured run recomputes the full pipeline
-# (plan-matching would otherwise serve warmup results from cache)
+def reset_caches():
+    spark.catalog.clearCache()
+    incoming.cache(); mpi.cache()
+    incoming.count(); mpi.count()
+
+# warmup (codegen + python workers) excluded; caches cleared before
+# every measured run so each recomputes the full pipeline
 run()
-spark.catalog.clearCache()
-incoming = incoming.cache(); mpi = mpi.cache()
-incoming.count(); mpi.count()
-t0 = time.perf_counter()
-n_pairs, n_dec = run()
-dt = time.perf_counter() - t0
-print(json.dumps({{"cpus": cpus, "seconds": round(dt, 3),
-                   "pairs": n_pairs, "decisions": n_dec,
+walls = []
+for _ in range(3):
+    reset_caches()
+    t0 = time.perf_counter()
+    n_pairs, n_dec = run()
+    walls.append(round(time.perf_counter() - t0, 3))
+walls.sort()
+dt = walls[1]
+print(json.dumps({{"cpus": cpus, "master": master, "seconds": dt,
+                   "runs": walls, "pairs": n_pairs, "decisions": n_dec,
                    "incoming": n_inc, "mpi": n_mpi,
                    "pairs_per_sec": round(n_pairs / dt, 1)}}))
 spark.stop()
@@ -94,7 +112,7 @@ def ensure_corpus(n_persons: int) -> None:
 import sys; sys.path.insert(0, {REPO!r})
 from pyspark.sql import SparkSession
 from recordlinker_spark.synth import synth_documents
-spark = (SparkSession.builder.master("local[32]")
+spark = (SparkSession.builder.master("local[16]")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "16g").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
@@ -105,54 +123,76 @@ spark.stop()
     subprocess.run([sys.executable, "-c", gen], check=True)
 
 
+def ensure_pkg_zip() -> None:
+    with zipfile.ZipFile(PKG_ZIP, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkg = os.path.join(REPO, "recordlinker_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+
 def main() -> None:
-    n_persons = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    n_persons = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     ensure_corpus(n_persons)
-    script = RUN_ONE.format(repo=REPO, corpus=CORPUS)
+    ensure_pkg_zip()
+    if MODE == "executors":
+        levels = [
+            ("N", "local-cluster[1,2,12288]", 2),
+            ("4N", "local-cluster[4,2,12288]", 8),
+        ]
+        desc = "1 executor x 2 cores vs 4 executors x 2 cores (separate JVMs, --py-files packaging)"
+    else:
+        levels = [("N", "local[2]", 2), ("4N", "local[8]", 8)]
+        desc = "local[2] vs local[8] single-JVM threads"
+
+    script = RUN_ONE.format(repo=REPO, corpus=CORPUS, pkg=PKG_ZIP)
     results = {}
-    for cpus in (2, 8):
+    for tag, master, cpus in levels:
         proc = subprocess.run(
-            [sys.executable, "-c", script, str(cpus)],
+            [sys.executable, "-c", script, master, str(cpus)],
             capture_output=True,
             text=True,
             check=True,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(results[cpus])
+        results[tag] = json.loads(line)
+        print(results[tag])
 
-    eff = results[8]["pairs_per_sec"] / (4 * results[2]["pairs_per_sec"])
+    eff = results["4N"]["pairs_per_sec"] / (4 * results["N"]["pairs_per_sec"])
     report = {
+        "mode": MODE,
         "corpus_persons": n_persons,
-        "localN": results[2],
-        "local4N": results[8],
+        "localN": results["N"],
+        "local4N": results["4N"],
         "scaling_efficiency": round(eff, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", f"scaling_{MODE}.json"), "w") as fh:
         json.dump(report, fh, indent=2)
-    md = f"""# BENCH — scaling efficiency (N vs 4N parallelism)
+    md = f"""# BENCH — scaling efficiency (N vs 4N, mode: {MODE})
 
-Protocol (BASELINE.md): identical input (seeded synthetic span-document
-corpus, {n_persons} persons, {results[2]["incoming"]} incoming vs
-{results[2]["mpi"]} MPI records), identical two-pass dibbs-default link
-job (block -> score -> exact-median -> grade -> fold -> decide),
-fresh JVM per level, warmup run excluded.
+Protocol: identical input (seeded synthetic span-document corpus,
+{n_persons} persons, {results["N"]["incoming"]} incoming vs
+{results["N"]["mpi"]} MPI records), identical two-pass dibbs-default
+link job (block -> score -> exact-median -> grade -> fold -> decide),
+{desc}, fresh JVMs per level, warmup excluded, median of 3 runs
+(run-to-run variance in this sandbox is +-20%).
 
-| parallelism | wall (s) | pairs scored | pairs/sec |
-|---|---|---|---|
-| local[2]  (N)  | {results[2]["seconds"]} | {results[2]["pairs"]} | {results[2]["pairs_per_sec"]} |
-| local[8]  (4N) | {results[8]["seconds"]} | {results[8]["pairs"]} | {results[8]["pairs_per_sec"]} |
+| parallelism | wall s (median) | all runs | pairs scored | pairs/sec |
+|---|---|---|---|---|
+| {results["N"]["master"]}  (N)  | {results["N"]["seconds"]} | {results["N"]["runs"]} | {results["N"]["pairs"]} | {results["N"]["pairs_per_sec"]} |
+| {results["4N"]["master"]}  (4N) | {results["4N"]["seconds"]} | {results["4N"]["runs"]} | {results["4N"]["pairs"]} | {results["4N"]["pairs_per_sec"]} |
 
 **Scaling efficiency = (pairs/sec at 4N) / (4 x pairs/sec at N) =
 {report["scaling_efficiency"]}** (target >= 0.8).
 
-Caveat: single-machine core-scaling is a *proxy* for executor-count
-scaling (no network shuffle, shared memory bandwidth); the job's only
-all-to-all exchanges are the blocking equi-join and the per-cluster
-aggregation, both hash-partitioned on keys whose cardinality grows
-with the data, so no single-point bottleneck appears at higher
-parallelism. Hot blocks are salted explicitly (operators/blocking.py).
+See BENCH/PHASES.md for the per-phase scaling evidence and the round-2
+fixes (unified census, eager cache warm-up, worker-global similarity
+memo, cores-proportional shuffle partitions).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)

@@ -23,15 +23,18 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession, functions as F
 
-cpus = int(sys.argv[1])
-spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+master = sys.argv[1]
+cpus = int(sys.argv[2])
+spark = (SparkSession.builder.master(master)
          .appName(f"rlspark-profile-{{cpus}}")
-         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+         .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 16)))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "24g")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
+if master.startswith("local-cluster"):
+    spark.sparkContext.addPyFile("/tmp/recordlinker_spark_pkg.zip")
 
 from recordlinker_spark.config import dibbs_default
 from recordlinker_spark.sources.ingest import parse_documents
@@ -41,7 +44,7 @@ from recordlinker_spark.operators.scoring import attach_pair_features, score_pai
 from recordlinker_spark.operators.decide import cluster_scores, decide, fold_passes
 
 docs = spark.read.parquet({corpus!r})
-records = parse_documents(docs.select("doc_id", "spans"))
+records = parse_documents(docs.select("doc_id", "spans")).drop("spans")
 split = F.abs(F.xxhash64("record_id")) % 5
 incoming = records.filter(split == 0)
 truth = docs.select(F.col("doc_id").alias("record_id"), "person_key")
@@ -97,6 +100,11 @@ spark.stop()
 
 def main() -> None:
     n_persons = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
+    mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "threads")
+    if mode == "executors":
+        levels = {2: "local-cluster[1,2,12288]", 8: "local-cluster[4,2,12288]"}
+    else:
+        levels = {2: "local[2]", 8: "local[8]"}
     cpus_list = [int(c) for c in sys.argv[2:]] or [2, 8]
     sys.path.insert(0, REPO)
     from scripts.bench_scaling import ensure_corpus
@@ -106,7 +114,7 @@ def main() -> None:
     results = {}
     for cpus in cpus_list:
         proc = subprocess.run(
-            [sys.executable, "-c", script, str(cpus)],
+            [sys.executable, "-c", script, levels[cpus], str(cpus)],
             capture_output=True, text=True, check=True,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
