@@ -57,7 +57,13 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(col: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles of the normalized text."""
+    """Distinct character k-shingles of the normalized text, as an
+    array column.  NOTE: the ``transform`` lambda runs a
+    variable-position substring per element — interpreted, and known to
+    degrade with executor-thread count in this sandbox.  Prefer
+    :func:`exploded_shingles` in plans (generator + top-level substring,
+    whole-stage codegen); this column form remains for expression-level
+    composition."""
     normed = _norm_text(col)
     n = F.greatest(F.length(normed) - F.lit(k - 1), F.lit(1))
     return F.array_distinct(
@@ -65,6 +71,38 @@ def shingles(col: Column, k: int = 5) -> Column:
             F.sequence(F.lit(1), n), lambda i: F.substring(normed, i, k)
         )
     )
+
+
+def exploded_shingles(
+    docs: DataFrame, text_col: str = "text", k: int = 5, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, s) rows: character k-shingles of the normalized text.
+
+    Plan shape chosen for scale: explode a position *generator* and
+    slice at the top level — ``posexplode``-style rows keep the
+    substring OUT of any higher-order-function lambda, so the whole
+    pipeline (generate -> substring -> hash/join) stays in whole-stage
+    codegen.  ``distinct=False`` skips the dedup shuffle for consumers
+    that are duplicate-insensitive (MinHash minima)."""
+    ex = (
+        docs.select(F.col("doc_id"), _norm_text(F.col(text_col)).alias("_t"))
+        .select(
+            "doc_id",
+            "_t",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1)),
+                )
+            ).alias("_i"),
+        )
+        .select(
+            "doc_id", F.substring(F.col("_t"), F.col("_i"), F.lit(k)).alias("s")
+        )
+    )
+    if distinct:
+        ex = ex.dropDuplicates(["doc_id", "s"])
+    return ex
 
 
 def _shingle_hash(sh: Column) -> Column:
@@ -100,9 +138,10 @@ def minhash_signatures(
     whole-stage codegen (an array-accumulator ``F.aggregate`` variant
     ran ~50x slower: interpreted HOF, per-step array allocation)."""
     coeffs = _minhash_coeffs(num_hashes, seed)
-    ex = docs.select(
-        F.col("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
-    ).select("doc_id", _shingle_hash(F.col("sh")).alias("h"))
+    # duplicate shingles cannot change a min — skip the distinct shuffle
+    ex = exploded_shingles(docs, text_col, k, distinct=False).select(
+        "doc_id", _shingle_hash(F.col("s")).alias("h")
+    )
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"_m{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -195,9 +234,7 @@ def ngram_jaccard_pairs(
     pair and ran set ops per pair, shuffling O(doc_len) arrays per pair
     (20.9s at sf0.1 vs low single digits for this plan).  Zero-overlap
     pairs are preserved via a left join (jaccard = 0)."""
-    ex = docs.select(
-        F.col("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("s")
-    )
+    ex = exploded_shingles(docs, text_col, k, distinct=True)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # pair x left-shingle rows, matched against the right side's shingles
     left = candidate_pairs.join(

@@ -124,7 +124,26 @@ def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFra
     """(doc_id, fingerprint): deterministic document fingerprint — the
     minimum md5 over the normalized text's character k-grams (a 1-hash
     MinHash; identical across Spark and DuckDB for oracle checks)."""
+    # explode a position generator and slice at top level: the md5 +
+    # variable-position substring stay in whole-stage codegen instead
+    # of an interpreted HOF lambda (the documented thread-scaling trap);
+    # map-side partial min keeps the exchange at ~|docs| rows
     normed = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    n = F.greatest(F.length(normed) - F.lit(k - 1), F.lit(1))
-    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(F.substring(normed, i, k)))
-    return docs.select("doc_id", F.array_min(grams).alias("fingerprint"))
+    ex = (
+        docs.select("doc_id", normed.alias("_t"))
+        .select(
+            "doc_id",
+            "_t",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1)),
+                )
+            ).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.substring(F.col("_t"), F.col("_i"), F.lit(k))).alias("g"),
+        )
+    )
+    return ex.groupBy("doc_id").agg(F.min("g").alias("fingerprint"))
