@@ -69,6 +69,17 @@ class AlgorithmValidationError(ValueError):
     """Raised when an algorithm config fails the reference's rules."""
 
 
+def _require(d: dict, key: str, what: str):
+    """Required-key access that reports the config error, not a bare
+    KeyError (the reference's pydantic models emit 'field required')."""
+    if not isinstance(d, dict):
+        raise AlgorithmValidationError(f"{what} must be a JSON object, got: {d!r}")
+    try:
+        return d[key]
+    except KeyError:
+        raise AlgorithmValidationError(f"{what} is missing required key '{key}'")
+
+
 def parse_feature(value: str, allow_wildcard: bool = False) -> str:
     """Validate a feature string; returns it unchanged.
 
@@ -122,7 +133,7 @@ def _log_odds_lookup(mapping: dict[str, float], feature: str):
 
 
 def _evaluator_from_dict(d: dict) -> Evaluator:
-    feature = parse_feature(d["feature"])
+    feature = parse_feature(_require(d, "feature", "evaluator"))
     func = str(d.get("func", ""))
     # the reference also accepts the enum's str() form with module prefix
     func = func.rsplit(".", 1)[-1]
@@ -146,15 +157,17 @@ def _evaluator_from_dict(d: dict) -> Evaluator:
 
 def _pass_from_dict(d: dict) -> AlgorithmPass:
     label = _check_label(d.get("label"), "pass")
-    keys = tuple(str(k) for k in d["blocking_keys"])
+    keys = tuple(str(k) for k in _require(d, "blocking_keys", "pass"))
     for k in keys:
         if k not in BLOCKING_KEY_IDS:
             raise AlgorithmValidationError(f"Invalid blocking key: '{k}'")
-    evaluators = tuple(_evaluator_from_dict(e) for e in d["evaluators"])
+    evaluators = tuple(
+        _evaluator_from_dict(e) for e in _require(d, "evaluators", "pass")
+    )
     if not evaluators:
         raise AlgorithmValidationError("Each pass requires at least one evaluator")
-    window = d["possible_match_window"]
-    if len(window) != 2:
+    window = _require(d, "possible_match_window", "pass")
+    if not isinstance(window, (list, tuple)) or len(window) != 2:
         raise AlgorithmValidationError(
             f"possible_match_window must have two bounds: {window}"
         )
@@ -176,8 +189,8 @@ def _pass_from_dict(d: dict) -> AlgorithmPass:
 def _context_from_dict(d: dict) -> AlgorithmContext:
     log_odds: dict[str, float] = {}
     for lo in d.get("log_odds", ()):
-        feature = parse_feature(lo["feature"])
-        value = float(lo["value"])
+        feature = parse_feature(_require(lo, "feature", "log_odds entry"))
+        value = float(_require(lo, "value", "log_odds entry"))
         if value < 0:
             raise AlgorithmValidationError(
                 f"Log odds must be >= 0: {feature}={value}"
@@ -185,8 +198,10 @@ def _context_from_dict(d: dict) -> AlgorithmContext:
         log_odds[feature] = value
     skip_values = []
     for sv in d.get("skip_values", ()):
-        feature = parse_feature(sv["feature"], allow_wildcard=True)
-        values = tuple(str(v) for v in sv["values"])
+        feature = parse_feature(
+            _require(sv, "feature", "skip_values entry"), allow_wildcard=True
+        )
+        values = tuple(str(v) for v in _require(sv, "values", "skip_values entry"))
         if not values:
             raise AlgorithmValidationError(
                 f"skip_values for '{feature}' must be non-empty"
@@ -217,9 +232,14 @@ def _context_from_dict(d: dict) -> AlgorithmContext:
 
 def algorithm_from_dict(d: dict) -> Algorithm:
     """Parse + validate one algorithm JSON object."""
-    label = _check_label(d["label"], "algorithm")
+    label = _require(d, "label", "algorithm")
+    if not isinstance(label, str):
+        # an explicit "label": null must not yield Algorithm(label=None):
+        # the reference requires a string label on every algorithm
+        raise AlgorithmValidationError(f"Algorithm label must be a string: {label!r}")
+    label = _check_label(label, "algorithm")
     context = _context_from_dict(d.get("algorithm_context", {}))
-    passes = tuple(_pass_from_dict(p) for p in d["passes"])
+    passes = tuple(_pass_from_dict(p) for p in _require(d, "passes", "algorithm"))
     if not passes:
         raise AlgorithmValidationError("An algorithm requires at least one pass")
     labels = {p.resolved_label for p in passes}

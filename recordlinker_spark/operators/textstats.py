@@ -123,7 +123,11 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
     """(doc_id, fingerprint): deterministic document fingerprint — the
     minimum md5 over the normalized text's character k-grams (a 1-hash
-    MinHash; identical across Spark and DuckDB for oracle checks)."""
+    MinHash; identical across Spark and DuckDB for oracle checks).
+
+    Output is one row per input doc: a NULL ``text`` yields a
+    (doc_id, NULL) fingerprint row (preserved via a left join back to
+    the doc ids — the explode path alone would silently drop it)."""
     # explode a position generator and slice at top level: the md5 +
     # variable-position substring stay in whole-stage codegen instead
     # of an interpreted HOF lambda (the documented thread-scaling trap);
@@ -146,4 +150,5 @@ def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFra
             F.md5(F.substring(F.col("_t"), F.col("_i"), F.lit(k))).alias("g"),
         )
     )
-    return ex.groupBy("doc_id").agg(F.min("g").alias("fingerprint"))
+    fps = ex.groupBy("doc_id").agg(F.min("g").alias("fingerprint"))
+    return docs.select("doc_id").join(fps, "doc_id", "left")

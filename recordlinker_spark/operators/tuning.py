@@ -140,6 +140,16 @@ def sample_non_match_pairs(
     if 1.0 - taylor >= 0.5:
         raise ValueError("Too many pairs requested for sample size")
 
+    # The row_number window below is deliberately unpartitioned: the
+    # frame it runs over is already LIMIT'd to sample_size rows, so the
+    # single-partition sort is bounded by construction.  Guard the
+    # construction so a future caller can't silently funnel an
+    # unbounded frame through one partition.
+    if sample_size > 1_000_000:
+        raise ValueError(
+            "sample_size > 1e6 would sort the whole sample in one "
+            "partition; shard the sampling or raise the guard consciously"
+        )
     sampled = (
         patients.select("record_id", "person_id")
         .filter(F.col("person_id").isNotNull())
@@ -289,10 +299,18 @@ def check_mpi_non_empty(patients: DataFrame) -> bool:
     return patients.limit(1).count() == 0
 
 
-def check_cluster_structure(patients: DataFrame) -> tuple[bool, int]:
+def check_cluster_structure(
+    patients: DataFrame, persons: DataFrame | None = None
+) -> tuple[bool, int]:
     """(acceptable, n_person_clusters): tuning needs >1 cluster and at
     least one cluster of size >1 (mpi_service.py:558-574 — equal
-    patient and person counts means every cluster is a singleton)."""
+    patient and person counts means every cluster is a singleton).
+
+    The reference counts Person-TABLE rows (mpi_service.py:564-568),
+    which includes persons with zero patients; pass the persons
+    registry to match that exactly.  Without one this falls back to
+    ``countDistinct(person_id)`` over patients — identical unless
+    empty person clusters exist (deliberate, documented deviation)."""
     row = (
         patients.filter(F.col("person_id").isNotNull())
         .agg(
@@ -301,8 +319,11 @@ def check_cluster_structure(patients: DataFrame) -> tuple[bool, int]:
         )
         .collect()[0]
     )
-    acceptable = (row["n_patients"] != row["n_persons"]) and row["n_persons"] > 1
-    return acceptable, row["n_persons"]
+    n_persons = row["n_persons"]
+    if persons is not None:
+        n_persons = persons.select("person_id").distinct().count()
+    acceptable = (row["n_patients"] != n_persons) and n_persons > 1
+    return acceptable, n_persons
 
 
 def tune(

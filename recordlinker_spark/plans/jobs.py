@@ -8,6 +8,12 @@ REST surface (reference: src/recordlinker/routes/*, SURVEY §2.10).
     python -m recordlinker_spark.plans.jobs tune    --mpi M --out O
     python -m recordlinker_spark.plans.jobs reset   --mpi M
     python -m recordlinker_spark.plans.jobs orphans --mpi M
+    python -m recordlinker_spark.plans.jobs update  --documents D --mpi M
+    python -m recordlinker_spark.plans.jobs update  --record-ids R --person-id P --mpi M
+
+Every job accepts ``--catalog`` to treat ``--mpi`` as an Iceberg table
+identifier (writes route through ``df.writeTo`` — sinks/catalog.py);
+without it ``--mpi`` is a parquet path with a rename-swap replace.
 
 Semantics mapping:
   seed    = POST /seed (bulk insert pre-labeled clusters, seed_router.py:28-88)
@@ -20,6 +26,9 @@ Semantics mapping:
   reset   = DELETE /seed (mpi_service.py:453-468)
   orphans = GET orphaned patients/persons (mpi_service.py:502-547):
             patients with NULL person + persons with no patients
+  update  = PATCH /patient/{id} (patient_router.py:63-128) +
+            PATCH /person/{id} patient reassignment
+            (person_router.py:110-186)
 
 Run via ``spark-submit --py-files recordlinker_spark.zip`` on a
 cluster, or plain ``python`` locally (a local session is created when
@@ -38,6 +47,7 @@ from pyspark.sql import functions as F
 
 from recordlinker_spark.config import Algorithm, dibbs_default
 from recordlinker_spark.plans.replay import MPI_SCHEMA
+from recordlinker_spark.sinks.catalog import TableTarget
 from recordlinker_spark.sources.ingest import parse_documents
 
 
@@ -50,6 +60,16 @@ def _spark() -> SparkSession:
 
 
 def _read_mpi(spark: SparkSession, path: str) -> DataFrame:
+    import os
+
+    # crash recovery for the _rewrite_mpi swap: a crash between its two
+    # renames leaves the data only in <path>.old — restore it before
+    # reading so readers never see a missing table (an Iceberg catalog
+    # target needs none of this; see sinks/catalog.py)
+    old = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(path.rstrip("/") + ".tmp", ignore_errors=True)
     try:
         return spark.read.schema(MPI_SCHEMA).parquet(path).dropDuplicates(
             ["record_id"]
@@ -58,27 +78,41 @@ def _read_mpi(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame([], MPI_SCHEMA)
 
 
+def _mpi_target(args) -> TableTarget:
+    """--catalog routes MPI writes through Iceberg DataFrameWriterV2
+    (sinks/catalog.py); default is the parquet path + rename-swap."""
+    return TableTarget(args.mpi, catalog=bool(getattr(args, "catalog", False)))
+
+
+def _read_mpi_t(spark: SparkSession, target: TableTarget) -> DataFrame:
+    if target.catalog:
+        try:
+            return target.read(spark).dropDuplicates(["record_id"])
+        except Exception:
+            return spark.createDataFrame([], MPI_SCHEMA)
+    return _read_mpi(spark, target.ident)
+
+
 def job_seed(spark: SparkSession, args) -> None:
     """documents + (record_id, person_id) labels -> MPI append (S3)."""
     records = parse_documents(spark.read.parquet(args.documents))
     labels = spark.read.parquet(args.labels)
     out = records.join(labels, "record_id")
-    out.select(*[f.name for f in MPI_SCHEMA.fields]).write.mode("append").parquet(
-        args.mpi
-    )
+    _mpi_target(args).append(out.select(*[f.name for f in MPI_SCHEMA.fields]))
 
 
 def job_link(spark: SparkSession, args, persist: bool = True) -> None:
     from recordlinker_spark.operators.linkjob import link_batch
 
+    target = _mpi_target(args)
     records = parse_documents(spark.read.parquet(args.documents))
-    mpi = _read_mpi(spark, args.mpi)
+    mpi = _read_mpi_t(spark, target)
     out = link_batch(records, mpi, _algorithm(args))
     out.decisions.write.mode("overwrite").parquet(args.out)
     if persist:
-        out.new_patients.select(*[f.name for f in MPI_SCHEMA.fields]).write.mode(
-            "append"
-        ).parquet(args.mpi)
+        target.append(
+            out.new_patients.select(*[f.name for f in MPI_SCHEMA.fields])
+        )
 
 
 def job_cluster(spark: SparkSession, args) -> None:
@@ -119,7 +153,7 @@ def job_cluster(spark: SparkSession, args) -> None:
 def job_tune(spark: SparkSession, args) -> None:
     from recordlinker_spark.operators.tuning import tune
 
-    mpi = _read_mpi(spark, args.mpi)
+    mpi = _read_mpi_t(spark, _mpi_target(args))
     result = tune(
         mpi,
         _algorithm(args),
@@ -140,12 +174,23 @@ def job_tune(spark: SparkSession, args) -> None:
 
 
 def job_reset(spark: SparkSession, args) -> None:
-    shutil.rmtree(args.mpi, ignore_errors=True)
+    if getattr(args, "catalog", False):
+        spark.sql(f"DROP TABLE IF EXISTS {args.mpi}")
+    else:
+        shutil.rmtree(args.mpi, ignore_errors=True)
 
 
 def _rewrite_mpi(df: DataFrame, path: str) -> None:
     """Replace the MPI table contents (parquet is immutable: write a
-    sibling then swap — the batch analog of a transactional delete)."""
+    sibling then swap — the batch analog of a transactional delete).
+
+    The double-rename is not atomic: a crash between the two renames
+    leaves the data only in ``<path>.old``.  ``_read_mpi`` recovers
+    that state (restores ``.old`` when the main path is missing and
+    clears a stale ``.tmp``), so the table is never observed missing
+    across a crash.  On an Iceberg deployment use
+    ``TableTarget(catalog=True).overwrite`` instead — one atomic
+    metadata swap, no recovery path needed (sinks/catalog.py)."""
     import os
 
     tmp = path.rstrip("/") + ".tmp"
@@ -169,14 +214,15 @@ def job_delete(spark: SparkSession, args) -> None:
       mpi_service.py:493-499); with a ``--persons`` registry, remove
       the ids from it.
     """
-    mpi = _read_mpi(spark, args.mpi)
+    target = _mpi_target(args)
+    mpi = _read_mpi_t(spark, target)
     report: dict = {}
     if getattr(args, "record_ids", None):
         ids = [s for s in args.record_ids.split(",") if s]
         kept = mpi.filter(~F.col("record_id").isin(ids))
         report["patients_deleted"] = mpi.count() - kept.count()
-        _rewrite_mpi(kept, args.mpi)
-        mpi = _read_mpi(spark, args.mpi)
+        target.overwrite(kept)
+        mpi = _read_mpi_t(spark, target)
     if getattr(args, "person_ids", None):
         ids = [s for s in args.person_ids.split(",") if s]
         with_patients = [
@@ -199,12 +245,51 @@ def job_delete(spark: SparkSession, args) -> None:
     print(json.dumps(report))
 
 
+def job_update(spark: SparkSession, args) -> None:
+    """PATCH analogs — patient update + person repointing
+    (patient_router.py:63-128 PATCH /patient/{id};
+    person_router.py:110-186 PATCH /person/{id} patient reassignment).
+
+    * ``--documents``: replace existing patients' PII/spans in place —
+      parse the updated documents, match on ``record_id``, keep each
+      patient's ``person_id`` (blocking values are derived at link
+      time, so nothing else needs refreshing).  Documents whose
+      record_id is not in the MPI are ignored (PATCH, not upsert).
+    * ``--record-ids`` + ``--person-id``: repoint those patients to the
+      given person.
+    """
+    target = _mpi_target(args)
+    mpi = _read_mpi_t(spark, target)
+    report: dict = {}
+    if getattr(args, "documents", None):
+        updated = parse_documents(spark.read.parquet(args.documents))
+        replaced = updated.join(mpi.select("record_id", "person_id"), "record_id")
+        report["patients_updated"] = replaced.count()
+        kept = mpi.join(updated.select("record_id"), "record_id", "left_anti")
+        target.overwrite(
+            kept.unionByName(
+                replaced.select(*[f.name for f in MPI_SCHEMA.fields])
+            )
+        )
+        mpi = _read_mpi_t(spark, target)
+    if getattr(args, "record_ids", None) and getattr(args, "person_id", None):
+        ids = [s for s in args.record_ids.split(",") if s]
+        report["patients_repointed"] = mpi.filter(
+            F.col("record_id").isin(ids)
+        ).count()
+        moved = F.when(
+            F.col("record_id").isin(ids), F.lit(args.person_id)
+        ).otherwise(F.col("person_id"))
+        target.overwrite(mpi.withColumn("person_id", moved))
+    print(json.dumps(report))
+
+
 def job_orphans(spark: SparkSession, args) -> None:
     """Orphaned patients (NULL person, mpi_service.py:502-521) and —
     when a persons registry is given — orphaned persons: registry ids
     with no patient (mpi_service.py:524-547, the NOT EXISTS anti-join
     re-expressed as a left-anti join)."""
-    mpi = _read_mpi(spark, args.mpi)
+    mpi = _read_mpi_t(spark, _mpi_target(args))
     orphan_patients = mpi.filter(F.col("person_id").isNull())
     report = {
         "orphaned_patients": orphan_patients.count(),
@@ -246,7 +331,8 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="recordlinker-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in (
-        "seed", "link", "match", "cluster", "tune", "reset", "orphans", "delete",
+        "seed", "link", "match", "cluster", "tune", "reset", "orphans",
+        "delete", "update",
     ):
         sp = sub.add_parser(name)
         sp.add_argument("--documents")
@@ -256,10 +342,16 @@ def main(argv: list[str] | None = None) -> None:
         sp.add_argument("--n-pairs", type=int, default=1000)
         sp.add_argument("--algorithm", help="algorithm-config JSON path")
         sp.add_argument("--persons", help="persons registry parquet (orphans)")
-        sp.add_argument("--record-ids", help="comma-joined patient ids (delete)")
+        sp.add_argument("--record-ids", help="comma-joined patient ids (delete/update)")
         sp.add_argument("--person-ids", help="comma-joined person ids (delete)")
+        sp.add_argument("--person-id", help="repoint target person id (update)")
         sp.add_argument(
             "--algorithm-label", help="label to pick from a multi-algorithm file"
+        )
+        sp.add_argument(
+            "--catalog",
+            action="store_true",
+            help="treat --mpi as an Iceberg table identifier (writeTo path)",
         )
     args = p.parse_args(argv)
     spark = _spark()
@@ -279,6 +371,8 @@ def main(argv: list[str] | None = None) -> None:
         job_orphans(spark, args)
     elif args.cmd == "delete":
         job_delete(spark, args)
+    elif args.cmd == "update":
+        job_update(spark, args)
 
 
 if __name__ == "__main__":

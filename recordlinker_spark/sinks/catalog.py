@@ -1,0 +1,76 @@
+"""Table I/O that targets either an Iceberg catalog table or parquet.
+
+The north rule targets Iceberg tables; the reference's analog is its
+transactional DB layer (reference: src/recordlinker/database/__init__.py
+— SQLAlchemy sessions with commit/rollback).  On Spark the transactional
+write is the DataFrameWriterV2 (``df.writeTo(table)``) against an
+Iceberg catalog: ``append()`` is an atomic snapshot commit and
+``createOrReplace()`` an atomic table swap — no rename dance, readers
+always see a complete snapshot, and concurrent writers serialize via
+optimistic retry.
+
+This sandbox has no Iceberg jars, so the mode is behind a flag: a
+:class:`TableTarget` built with ``catalog=True`` routes every write
+through ``writeTo`` (unit-tested by asserting the generated writer
+calls); built with ``catalog=False`` (default) it falls back to parquet
+paths with the rename-swap pseudo-transaction in plans/jobs.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclasses.dataclass(frozen=True)
+class TableTarget:
+    """One logical table: an Iceberg identifier or a parquet path.
+
+    :param ident: ``catalog.db.table`` (catalog mode) or a filesystem /
+        object-store path (parquet mode).
+    :param catalog: route through DataFrameWriterV2 (Iceberg) when True.
+    """
+
+    ident: str
+    catalog: bool = False
+
+    def read(self, spark: SparkSession, schema=None) -> DataFrame:
+        if self.catalog:
+            return spark.table(self.ident)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self.ident)
+
+    def append(self, df: DataFrame) -> None:
+        """Atomic append: Iceberg snapshot commit, or parquet append
+        (atomic only at file granularity — the documented fallback)."""
+        if self.catalog:
+            df.writeTo(self.ident).append()
+        else:
+            df.write.mode("append").parquet(self.ident)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Atomic full replace: Iceberg ``createOrReplace`` (one
+        metadata swap), or the parquet rename-swap the caller provides
+        via :func:`plans.jobs._rewrite_mpi` — parquet callers should
+        prefer that helper; this method exists so catalog-mode callers
+        need no branching."""
+        if self.catalog:
+            df.writeTo(self.ident).using("iceberg").createOrReplace()
+        else:
+            from recordlinker_spark.plans.jobs import _rewrite_mpi
+
+            _rewrite_mpi(df, self.ident)
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Dynamic partition overwrite — the idempotent re-run
+        primitive for checkpointed stages (replaces only the partitions
+        present in ``df``)."""
+        if self.catalog:
+            df.writeTo(self.ident).overwritePartitions()
+        else:
+            df.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(self.ident)

@@ -106,6 +106,20 @@ def _mutate(base, fn):
         (lambda d: d.update(label="bad label!"), "Invalid algorithm label"),
         (lambda d: d["algorithm_context"]["log_odds"].append(
             {"feature": "ZIP", "value": -1.0}), "Log odds must be >= 0"),
+        # malformed configs report config errors, not bare KeyError
+        (lambda d: d.pop("label"), "missing required key 'label'"),
+        (lambda d: d.update(label=None), "label must be a string"),
+        (lambda d: d.pop("passes"), "missing required key 'passes'"),
+        (lambda d: d["passes"][0].pop("blocking_keys"),
+         "missing required key 'blocking_keys'"),
+        (lambda d: d["passes"][0].pop("evaluators"),
+         "missing required key 'evaluators'"),
+        (lambda d: d["passes"][0].pop("possible_match_window"),
+         "missing required key 'possible_match_window'"),
+        (lambda d: d["passes"][0]["evaluators"][0].pop("feature"),
+         "missing required key 'feature'"),
+        (lambda d: d["algorithm_context"]["log_odds"].append({"feature": "ZIP"}),
+         "missing required key 'value'"),
     ],
 )
 def test_rejects_invalid(base, mutate, match):

@@ -222,3 +222,18 @@ def test_ivf_bucket_cap_drops_hot_bucket(spark):
     assert capped.count() == 0
     uncapped = ivf_topk(hot, queries, k=5, dim=8, nbits=4, nprobe=1)
     assert uncapped.count() == 5
+
+
+def test_fingerprints_one_row_per_doc_incl_null_text(spark):
+    """fingerprints() preserves output cardinality: a NULL/empty-text
+    doc yields a (doc_id, NULL-or-value) row instead of vanishing."""
+    from recordlinker_spark.operators.textstats import fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "hello world document"), (2, None), (3, "hello world document")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] is None
+    assert rows[1] == rows[3] and rows[1] is not None

@@ -114,6 +114,76 @@ def test_delete_patients_and_persons(spark, tmp_path, capsys):
     assert report["persons_deleted"] == 1
 
 
+def test_update_patient_and_repoint(spark, tmp_path, capsys):
+    """update job: PATCH-patient (PII replaced in place, person kept)
+    and person repointing round-trips (patient_router.py:63-128,
+    person_router.py:110-186)."""
+    mpi_dir = str(tmp_path / "mpi")
+    docs = [(f"r{i}", p, []) for i, p in enumerate(SIX_PATIENTS[:3])]
+    spark.createDataFrame(docs_to_rows(docs), DOCUMENTS_SCHEMA).write.parquet(
+        str(tmp_path / "docs")
+    )
+    from recordlinker_spark.sources.ingest import parse_documents
+
+    records = parse_documents(spark.read.parquet(str(tmp_path / "docs")))
+    labels = spark.createDataFrame(
+        [("r0", "p0"), ("r1", "p0"), ("r2", "p2")],
+        "record_id string, person_id string",
+    )
+    records.join(labels, "record_id").write.parquet(mpi_dir)
+
+    # PATCH r1's record to Tali's PII (SIX_PATIENTS[2]); an unknown id
+    # in the update batch is ignored (PATCH, not upsert)
+    upd_dir = str(tmp_path / "upd")
+    spark.createDataFrame(
+        docs_to_rows([("r1", SIX_PATIENTS[2], []), ("zz", SIX_PATIENTS[3], [])]),
+        DOCUMENTS_SCHEMA,
+    ).write.parquet(upd_dir)
+    jobs.job_update(spark, A(documents=upd_dir, mpi=mpi_dir))
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["patients_updated"] == 1
+    rows = {r["record_id"]: r for r in spark.read.parquet(mpi_dir).collect()}
+    assert set(rows) == {"r0", "r1", "r2"}  # no upsert of "zz"
+    assert rows["r1"]["person_id"] == "p0"  # person kept
+    assert rows["r1"]["name"] == rows["r2"]["name"]  # PII replaced (Tali's)
+    assert rows["r1"]["birth_date"] == rows["r2"]["birth_date"]
+
+    # repoint r1 to p2
+    jobs.job_update(spark, A(mpi=mpi_dir, record_ids="r1", person_id="p2"))
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["patients_repointed"] == 1
+    rows = {r["record_id"]: r for r in spark.read.parquet(mpi_dir).collect()}
+    assert rows["r1"]["person_id"] == "p2"
+    assert rows["r0"]["person_id"] == "p0"
+
+
+def test_mpi_swap_crash_recovery(spark, tmp_path):
+    """A crash between _rewrite_mpi's two renames leaves data only in
+    <mpi>.old; _read_mpi restores it so the table is never missing."""
+    import os
+
+    mpi_dir = str(tmp_path / "mpi")
+    docs = [(f"r{i}", p, []) for i, p in enumerate(SIX_PATIENTS[:2])]
+    spark.createDataFrame(docs_to_rows(docs), DOCUMENTS_SCHEMA).write.parquet(
+        str(tmp_path / "docs")
+    )
+    from recordlinker_spark.sources.ingest import parse_documents
+
+    records = parse_documents(spark.read.parquet(str(tmp_path / "docs")))
+    labels = spark.createDataFrame(
+        [("r0", "p0"), ("r1", "p1")], "record_id string, person_id string"
+    )
+    records.join(labels, "record_id").write.parquet(mpi_dir)
+
+    # simulate the torn state: main path renamed away, .tmp half-written
+    os.rename(mpi_dir, mpi_dir + ".old")
+    os.makedirs(mpi_dir + ".tmp")
+    recovered = jobs._read_mpi(spark, mpi_dir)
+    assert recovered.count() == 2
+    assert os.path.exists(mpi_dir)
+    assert not os.path.exists(mpi_dir + ".tmp")
+
+
 def test_cluster_bootstrap(spark, tmp_path):
     """CC clustering of a synthetic corpus recovers >=90% of ground-truth
     person assignments (perturbations beyond the certain threshold split

@@ -228,3 +228,12 @@ def test_tune_guards(spark, corpus):
     )
     ok, n = check_cluster_structure(paired)
     assert ok and n == 5
+
+    # persons registry counts Person-table rows (mpi_service.py:564-568):
+    # empty person clusters are included and can flip the verdict
+    persons = paired.sparkSession.createDataFrame(
+        [(f"t{i}",) for i in range(10)] + [(f"empty{i}",) for i in range(10)],
+        "person_id string",
+    )
+    ok, n = check_cluster_structure(paired, persons=persons)
+    assert ok and n == 20
