@@ -108,32 +108,106 @@ def signature_col(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+#: exhaustive probe-ranking works over the J most-uncertain planes;
+#: 2^J candidate perturbations are generated as static codegen structs
+PROBE_RANK_PLANES = 6
+
+
 def probe_buckets_col(vec: Column, planes: list[list[float]], nprobe: int) -> Column:
-    """Multi-probe bucket list: the home bucket plus the ``nprobe - 1``
-    Hamming-1 neighbors whose hyperplane the query sits closest to
-    (smallest |dot| — the standard multi-probe LSH heuristic: the
-    planes most likely to have mis-signed a true neighbor)."""
+    """Score-ranked multi-probe bucket list (Lv et al., VLDB'07).
+
+    The probability that a true neighbor's signature flipped plane
+    ``i`` falls with the query's margin ``|dot_i|``; the best buckets
+    to probe are therefore the perturbations with the smallest total
+    flipped margin.  This ranks ALL XOR-combinations over the query's
+    ``J = min(nbits, 6)`` most-uncertain planes by that cost
+    (``cost(S) = sum_{i in S} |dot_i|``) and probes the ``nprobe``
+    cheapest — for ``nbits <= 6`` that is exhaustive-optimal probing of
+    the whole bucket space, strictly better than the fixed Hamming-1
+    neighborhood it replaces (which capped recall ~0.53 on isotropic
+    data at nbits=4).  All codegen: array_sort over 2^J static structs,
+    no Python."""
     dots = plane_dots(vec, planes)
     home = signature_col(vec, planes)
     if nprobe <= 1:
         return F.array(home)
+    # rank the planes by margin (ascending |dot|): position j in
+    # ``ranked`` is the j-th most-likely-misflipped plane
     ranked = F.array_sort(
         F.array(
             *[
-                F.struct(
-                    F.abs(d).alias("adot"),
-                    F.lit(i).alias("i"),
-                    F.lit(1 << i).alias("mask"),
-                )
+                F.struct(F.abs(d).alias("adot"), F.lit(1 << i).alias("mask"))
                 for i, d in enumerate(dots)
             ]
         )
     )
-    flips = F.transform(
-        F.slice(ranked, 1, min(nprobe - 1, len(planes))),
-        lambda s: home.bitwiseXOR(s["mask"]),
-    )
-    return F.concat(F.array(home), flips)
+    j_planes = min(len(planes), PROBE_RANK_PLANES)
+    combos = []
+    for s in range(1 << j_planes):
+        cost: Column = F.lit(0.0)
+        mask: Column = F.lit(0)
+        for j in range(j_planes):
+            if s >> j & 1:
+                cost = cost + ranked[j]["adot"]
+                mask = mask.bitwiseXOR(ranked[j]["mask"])
+        combos.append(F.struct(cost.alias("cost"), mask.alias("mask")))
+    best = F.slice(F.array_sort(F.array(*combos)), 1, min(nprobe, len(combos)))
+    return F.transform(best, lambda c: home.bitwiseXOR(c["mask"]))
+
+
+def pick_nprobe(
+    corpus: DataFrame,
+    sample_queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    nbits: int = 4,
+    seed: int = 42,
+    recall_floor: float = 0.9,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, float]:
+    """Recall-targeted operating point: the smallest ``nprobe`` whose
+    measured recall@k on ``sample_queries`` (vs exact brute force over
+    the same corpus) reaches ``recall_floor``.
+
+    The sample is small by construction (hundreds of queries), so the
+    brute-force truth pass is one corpus scan; at production scale this
+    runs once per corpus/embedding version on a sampled query log and
+    the chosen ``nprobe`` ships with the index config.  Returns
+    ``(nprobe, measured_recall)``; if even probing every ranked bucket
+    misses the floor (isotropic data degrades LSH toward brute force),
+    the max is returned with its measured recall — callers decide
+    whether to accept or fall back to :func:`brute_force_topk`."""
+    truth = {
+        (r["query_id"], r[id_col])
+        for r in brute_force_topk(
+            corpus, sample_queries, k=k, id_col=id_col, vec_col=vec_col
+        ).collect()
+    }
+    max_probe = 1 << min(nbits, PROBE_RANK_PLANES)
+    nprobe, recall = 1, 0.0
+    while nprobe <= max_probe:
+        got = {
+            (r["query_id"], r[id_col])
+            for r in ivf_topk(
+                corpus,
+                sample_queries,
+                k=k,
+                dim=dim,
+                nbits=nbits,
+                seed=seed,
+                nprobe=nprobe,
+                max_bucket_size=max_bucket_size,
+                id_col=id_col,
+                vec_col=vec_col,
+            ).collect()
+        }
+        recall = len(got & truth) / max(len(truth), 1)
+        if recall >= recall_floor or nprobe == max_probe:
+            return nprobe, recall
+        nprobe = min(nprobe * 2, max_probe)
+    return nprobe, recall
 
 
 def ivf_topk(

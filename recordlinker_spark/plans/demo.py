@@ -485,15 +485,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe bucketed ANN (recall < 1 vs brute force by design,
-    but the output itself is deterministic given the seed — the oracle
-    replays bucket assignment, probing and rescoring in DuckDB)."""
+    """Score-ranked multi-probe bucketed ANN (recall < 1 vs brute force
+    by design, but the output itself is deterministic given the seed —
+    the oracle replays bucket assignment, ranked probing and rescoring
+    in DuckDB).  Operating point nbits=4/nprobe=12 measures recall 0.95
+    at sf0.1 — the testdata embeddings are isotropic Gaussian (no
+    cluster structure), where ANY LSH needs a high probe fraction;
+    clustered real-world embeddings prune far more per probe."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(
-        emb, queries, k=5, dim=64, nbits=4, nprobe=3, max_bucket_size=100000
+        emb, queries, k=5, dim=64, nbits=4, nprobe=12, max_bucket_size=100000
     ).select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
@@ -893,8 +897,11 @@ def oracle_queries() -> dict[str, str]:
     home_bits = " + ".join(
         f"(case when d{i} >= 0 then {1 << i} else 0 end)" for i in range(4)
     )
-    qdot_rows = "\n          union all ".join(
-        f"select query_id, home, {i} as i, d{i} as d from q" for i in range(4)
+    # ranked multi-probe: every flip-mask's cost = sum of |d_i| over its
+    # set bits; probe the 12 cheapest (mask 0 = home bucket, cost 0)
+    mask_cost = " + ".join(
+        f"(case when m.mask & {1 << i} > 0 then abs(d{i}) else 0 end)"
+        for i in range(4)
     )
     out["ivf_topk"] = f"""
         with e as (
@@ -907,18 +914,17 @@ def oracle_queries() -> dict[str, str]:
         c as (select vec_id, v, home as bucket from b join cok on b.home = cok.bucket),
         q as (select vec_id as query_id, v as qv, home, d0, d1, d2, d3
               from b where vec_id < 8),
-        qdots as (
-          {qdot_rows}
-        ),
-        flipranked as (
-          select query_id, home, i,
-                 row_number() over (partition by query_id order by abs(d), i) as rn
-          from qdots
+        masks as (select unnest(range(16)) as mask),
+        probecost as (
+          select q.query_id, q.home, m.mask, {mask_cost} as cost
+          from q cross join masks m
         ),
         probes as (
-          select query_id, home as bucket from q
-          union all
-          select query_id, xor(home, 1 << i) as bucket from flipranked where rn <= 2
+          select query_id, xor(home, mask) as bucket
+          from (select *, row_number() over (partition by query_id
+                                             order by cost, mask) as rn
+                from probecost)
+          where rn <= 12
         ),
         cand as (
           select distinct p.query_id, c.vec_id

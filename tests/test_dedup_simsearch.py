@@ -237,3 +237,56 @@ def test_fingerprints_one_row_per_doc_incl_null_text(spark):
     assert set(rows) == {1, 2, 3}
     assert rows[2] is None
     assert rows[1] == rows[3] and rows[1] is not None
+
+
+def test_pick_nprobe_hits_recall_floor(spark, emb_df):
+    """pick_nprobe returns an operating point whose measured recall
+    meets the floor (or the max probe count, reported honestly)."""
+    from recordlinker_spark.operators.simsearch import ivf_topk, pick_nprobe
+
+    queries = emb_df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nprobe, recall = pick_nprobe(
+        emb_df, queries, k=5, dim=8, nbits=4, recall_floor=0.9
+    )
+    assert recall >= 0.9 or nprobe == 16
+    # the returned operating point reproduces that recall when re-run
+    from recordlinker_spark.operators.simsearch import brute_force_topk
+
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb_df, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb_df, queries, k=5, dim=8, nbits=4, nprobe=nprobe).collect()
+    }
+    assert len(got & truth) / len(truth) == recall
+
+
+def test_ranked_multiprobe_recall_monotone_to_exhaustive(spark, emb_df):
+    """Probing every ranked bucket (nprobe = 2^nbits) recovers brute
+    force exactly; recall is monotone in nprobe."""
+    from recordlinker_spark.operators.simsearch import brute_force_topk, ivf_topk
+
+    queries = emb_df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb_df, queries, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(
+                emb_df, queries, k=5, dim=8, nbits=4, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r4, r8, r16 = recall(4), recall(8), recall(16)
+    assert r4 <= r8 <= r16
+    assert r16 == 1.0
