@@ -55,15 +55,22 @@ _PAIR_MEMO_CAP = 2_000_000
 
 
 @functools.lru_cache(maxsize=16)
-def multi_max_similarity_udf(measures: tuple[str, ...]):
+def multi_max_similarity_udf(measures: tuple[str, ...], ablation: bool = False):
     """One Arrow round-trip for a whole pass: 2N array<string> columns
     (left/right per fuzzy evaluator) -> array<double> of max
     cross-product similarities (NULL element = missing side).
 
     A pass with N fuzzy evaluators would otherwise pay N pandas-UDF
-    transfers of the same pair rows; this fuses them into one."""
+    transfers of the same pair rows; this fuses them into one.
+
+    ``ablation=True`` returns 1.0 for every non-missing pair WITHOUT
+    calling the kernels (the Arrow transfer and row loop still run) —
+    the measurement hook that attributes scaling residue to the
+    similarity kernels vs the surrounding plan (scripts/bench_scaling)."""
     fns = [SIMILARITY_FUNCS[m] for m in measures]
     n = len(measures)
+    if ablation:
+        fns = [lambda x, y: 1.0 for _ in measures]
 
     @pandas_udf(T.ArrayType(T.DoubleType()))
     def _udf(*cols: pd.Series) -> pd.Series:

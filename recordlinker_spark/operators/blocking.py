@@ -131,6 +131,8 @@ def blocked_persons(
     max_block_size: int | None = None,
     census_fraction: float = 0.02,
     mpi_count: int | None = None,
+    probe_count: int | None = None,
+    broadcast_probe_rows: int = 2_000_000,
 ) -> DataFrame:
     """J1+J2: distinct ``(record_id_l, person_id)`` candidate clusters.
 
@@ -149,6 +151,20 @@ def blocked_persons(
         (raw, as stored at insert time, mpi_service.py:314-350).
     :param mpi_count: known MPI row count (skips a counting pass when
         the caller already materialized the projection).
+    :param probe_count: known incoming row count (same caller shortcut).
+    :param broadcast_probe_rows: incoming batches at or below this many
+        records take the broadcast fast path — see below.
+
+    Broadcast fast path: an MPI-linkage batch is typically orders of
+    magnitude smaller than the MPI, so the probe side's composite rows
+    (short strings) fit in a broadcast.  ``build ⋈ broadcast(probe)``
+    then streams the MPI side with NO exchange of either side and NO
+    partition skew (there is no hash partitioning to skew — a hot
+    block's members are spread uniformly across the MPI scan
+    partitions), which makes the whole census/salting machinery moot;
+    the census survives only to enforce ``max_block_size``.  Beyond
+    ``broadcast_probe_rows`` (self-linkage, corpus bootstrap) the
+    census + hot/cold salted join below takes over.
     """
     keys = algorithm_pass.blocking_keys
     spark = incoming.sparkSession
@@ -181,6 +197,36 @@ def blocked_persons(
         )
         probe = p if probe is None else probe.unionByName(p)
         build = b if build is None else build.unionByName(b)
+
+    # ---- small-probe fast path: broadcast-hash join, exchange-free.
+    if probe_count is None:
+        probe_count = incoming.count()
+    if probe_count <= broadcast_probe_rows:
+        if max_block_size is not None:
+            if mpi_count is None:
+                mpi_count = mpi_bk.count()
+            if mpi_count > max_block_size:
+                frac = min(1.0, max(census_fraction, 200.0 / max_block_size))
+                census = (
+                    build.sample(fraction=frac, seed=42)
+                    .groupBy("_sub", "_block")
+                    .count()
+                )
+                capped_rows = census.filter(
+                    (F.col("count") / F.lit(frac)) > max_block_size
+                ).select("_sub", "_block").collect()
+                if capped_rows:
+                    capped_df = F.broadcast(
+                        spark.createDataFrame(
+                            sorted((r["_sub"], r["_block"]) for r in capped_rows),
+                            "_sub string, _block string",
+                        )
+                    )
+                    build = build.join(capped_df, ["_sub", "_block"], "left_anti")
+        matched = build.join(F.broadcast(probe), ["_sub", "_block"])
+        return matched.select("record_id_l", "person_id").dropDuplicates(
+            ["record_id_l", "person_id"]
+        )
 
     # ---- explicit skew handling: census -> hot/cold split + salting.
     # One sampled census job covers every subset: a hot block

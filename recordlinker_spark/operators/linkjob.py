@@ -170,6 +170,7 @@ def link_batch(
         with _cf.ThreadPoolExecutor(max_workers=4) as warm:
             counts = list(warm.map(lambda df: df.count(), warm_list))
         block_kwargs.setdefault("mpi_count", counts[0])
+        block_kwargs.setdefault("probe_count", counts[1])
 
     def build_pass(algorithm_pass):
         pairs = candidate_pairs(

@@ -124,15 +124,32 @@ def score_pairs(
     sims: dict[str, Column] = {}
     out = pairs_with_feats
     if fuzzy:
+        import os
+
         measures = tuple(
             e.fuzzy_match_measure or ctx.fuzzy_match_measure for e in fuzzy
         )
-        udf = multi_max_similarity_udf(measures)
-        args = []
+        ablation = os.environ.get("SPARK_GRAFT_SIM_ABLATION", "") == "kernel"
+        udf = multi_max_similarity_udf(measures, ablation)
+        argnames = []
         for e in fuzzy:
             key = e.feature.replace(":", "_")
-            args += [F.col("fl_" + key), F.col("fr_" + key)]
-        out = out.withColumn("_sims", udf(*args))
+            argnames += ["fl_" + key, "fr_" + key]
+
+        if os.environ.get("SPARK_GRAFT_SIM_DISTINCT", "1") == "1":
+            # Co-locate repeated value-tuples before the UDF: blocking
+            # makes the same (left values, right values) tuples recur
+            # across many candidate pairs, and the worker-global memo
+            # (functions/similarity.py) dedupes kernel calls — but only
+            # within one Python worker, so its hit rate falls as worker
+            # count grows (each worker sees a thinner slice of the
+            # repeats).  Hash-repartitioning the pair rows by the value
+            # tuple routes every copy of a tuple to the same partition:
+            # the kernel then runs O(|distinct tuples|) times total,
+            # independent of cluster size — one extra exchange of
+            # narrow rows buys back the scoring stage's scaling.
+            out = out.repartition(*[F.col(c) for c in argnames])
+        out = out.withColumn("_sims", udf(*[F.col(c) for c in argnames]))
         for i, e in enumerate(fuzzy):
             sims[e.feature] = F.element_at(F.col("_sims"), i + 1)
 

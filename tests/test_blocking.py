@@ -169,3 +169,57 @@ def test_block_on_birthdate_first_last(spark, mpi_bk):
     }
     out = _block(spark, mpi_bk, probe, KEYS, odds)
     assert len(out) == 1
+
+
+def test_salted_capped_and_broadcast_paths_agree(spark):
+    """The broadcast fast path, the census+salted path, and the
+    max_block_size cap produce identical candidate sets — the path
+    choice is a physical-plan decision only."""
+    from recordlinker_spark.operators.blocking import blocked_persons
+
+    alg = Algorithm(
+        label="t",
+        passes=(
+            AlgorithmPass(
+                label="p",
+                blocking_keys=("BIRTHDATE",),
+                evaluators=(),
+                possible_match_window=(0.0, 1.0),
+            ),
+        ),
+        context=AlgorithmContext(log_odds={"BIRTHDATE": 10.0}),
+    )
+    p = alg.passes[0]
+    # 120 patients share one hot birthdate; 30 cold distinct ones
+    mpi_rows = [(f"h{i}", ["1980-01-01"], f"ph{i}") for i in range(120)] + [
+        (f"c{i}", [f"19{i:02d}-05-05"], f"pc{i}") for i in range(30)
+    ]
+    mpi = spark.createDataFrame(
+        mpi_rows, "record_id string, bk_BIRTHDATE array<string>, person_id string"
+    )
+    inc = spark.createDataFrame(
+        [("q1", ["1980-01-01"]), ("q2", ["1905-05-05"]), ("q3", ["2000-01-01"])],
+        "record_id string, bk_BIRTHDATE array<string>",
+    )
+
+    def got(**kw):
+        return {
+            (r["record_id_l"], r["person_id"])
+            for r in blocked_persons(inc, mpi, alg, p, **kw).collect()
+        }
+
+    bcast = got()
+    salted = got(
+        broadcast_probe_rows=0, salt_threshold=50, num_salts=4,
+        census_fraction=1.0,
+    )
+    assert bcast == salted
+    assert len(bcast) == 121  # q1 -> 120 hot persons, q2 -> pc5, q3 -> none
+
+    # the cap drops the pathological block identically on both paths
+    capped_b = got(max_block_size=50)
+    capped_s = got(
+        broadcast_probe_rows=0, salt_threshold=50, num_salts=4,
+        census_fraction=1.0, max_block_size=50,
+    )
+    assert capped_b == capped_s == {("q2", "pc5")}
