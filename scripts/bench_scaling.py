@@ -51,6 +51,11 @@ spark = (SparkSession.builder.master(master)
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "12g")
+         # cached partitions pin tasks to the executor that warmed them;
+         # the default 3s-per-level locality wait idles cores exactly
+         # when executor count grows (measured 30-84s swings at 4N).
+         # Remote cache fetch over local loopback is cheap — never wait.
+         .config("spark.locality.wait", "0")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 if master.startswith("local-cluster"):
