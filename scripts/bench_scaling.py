@@ -161,8 +161,10 @@ def main() -> None:
             [sys.executable, "-c", script, master, str(cpus)],
             capture_output=True,
             text=True,
-            check=True,
         )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-8000:])
+            raise SystemExit(f"level {tag} ({master}) failed rc={proc.returncode}")
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         results[tag] = json.loads(line)
         print(results[tag])
