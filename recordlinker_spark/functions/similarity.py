@@ -76,6 +76,14 @@ def multi_max_similarity_udf(measures: tuple[str, ...], ablation: bool = False):
     def _udf(*cols: pd.Series) -> pd.Series:
         caches: list[dict] = []
         for m in measures:
+            if ablation:
+                # never touch the worker-global memo with ablation
+                # constants: workers are reused across jobs in one app,
+                # and a poisoned (measure, pair) -> 1.0 entry would be
+                # served to later REAL scoring UDFs.  Throwaway local
+                # dict instead (still dedupes within this batch).
+                caches.append({})
+                continue
             cache = _PAIR_MEMO.setdefault(m, {})
             if len(cache) > _PAIR_MEMO_CAP:
                 cache.clear()

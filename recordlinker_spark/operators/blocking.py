@@ -206,7 +206,17 @@ def blocked_persons(
     # ---- small-probe fast path: broadcast-hash join, exchange-free.
     if probe_count is None:
         probe_count = incoming.count()
-    if probe_count <= broadcast_probe_rows:
+    # What actually ships is the EXPLODED probe — the cross-product of
+    # blocking values per present-key subset — which multi-valued keys
+    # (identifiers, given names) can inflate several-fold past the
+    # raw-row gate.  Count it directly (cheap: derived from a
+    # ≤ broadcast_probe_rows batch) and bail to the salted path when
+    # the explosion breaches 2x the bound, so the driver never collects
+    # a broadcast the ~15 MB estimate didn't cover.
+    exploded_rows = (
+        probe.count() if probe_count <= broadcast_probe_rows else None
+    )
+    if exploded_rows is not None and exploded_rows <= 2 * broadcast_probe_rows:
         if max_block_size is not None:
             if mpi_count is None:
                 mpi_count = mpi_bk.count()

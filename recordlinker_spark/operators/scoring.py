@@ -53,6 +53,27 @@ def _empty(col: Column) -> Column:
     return F.coalesce(F.size(col), F.lit(0)) <= 0
 
 
+def fuzzy_score_expr(ev: Evaluator, ctx, left: Column, right: Column, sim: Column) -> tuple[Column, Column]:
+    """(score, missing) for one FUZZY evaluator given its similarity
+    column — the SINGLE construction site for the threshold + missing
+    semantics (matchers.py:135-150), consumed by both
+    :func:`evaluator_score` (per-feature UDF path) and
+    :func:`score_pairs` (fused-UDF path) so the two can't drift."""
+    log_odds = ctx.get_log_odds(ev.feature) or 0.0
+    threshold = (
+        ev.fuzzy_match_threshold
+        if ev.fuzzy_match_threshold is not None
+        else ctx.fuzzy_match_threshold
+    )
+    missing = _empty(left) | _empty(right)
+    score = (
+        F.when(missing, F.lit(ctx.missing_field_points_proportion * log_odds))
+        .when(sim >= F.lit(threshold), sim * F.lit(log_odds))
+        .otherwise(F.lit(0.0))
+    )
+    return score, missing
+
+
 def evaluator_score(
     ev: Evaluator, algorithm: Algorithm, left: Column, right: Column
 ) -> tuple[Column, Column]:
@@ -70,18 +91,8 @@ def evaluator_score(
         return score, missing
     if ev.func == FUNC_FUZZY:
         measure = ev.fuzzy_match_measure or ctx.fuzzy_match_measure
-        threshold = (
-            ev.fuzzy_match_threshold
-            if ev.fuzzy_match_threshold is not None
-            else ctx.fuzzy_match_threshold
-        )
         sim = max_similarity_udf(measure)(left, right)
-        score = (
-            F.when(missing, missing_pts)
-            .when(sim >= F.lit(threshold), sim * F.lit(log_odds))
-            .otherwise(F.lit(0.0))
-        )
-        return score, missing
+        return fuzzy_score_expr(ev, ctx, left, right, sim)
     raise ValueError(f"unknown evaluator func: {ev.func}")
 
 
@@ -148,7 +159,25 @@ def score_pairs(
             # the kernel then runs O(|distinct tuples|) times total,
             # independent of cluster size — one extra exchange of
             # narrow rows buys back the scoring stage's scaling.
-            out = out.repartition(*[F.col(c) for c in argnames])
+            # Skew guard: a pair row with at least one side empty for
+            # EVERY fuzzy evaluator never invokes a kernel, yet such
+            # rows share one degenerate value tuple (all NULL) and would
+            # all hash to a single straggler partition — spread them by
+            # a pair-id salt instead (kernel rows keep salt 0, so each
+            # real tuple still lands whole on one partition).
+            no_kernel = None
+            for e in fuzzy:
+                key = e.feature.replace(":", "_")
+                m = _empty(F.col("fl_" + key)) | _empty(F.col("fr_" + key))
+                no_kernel = m if no_kernel is None else (no_kernel & m)
+            salt = F.when(
+                no_kernel,
+                F.pmod(
+                    F.xxhash64(F.col("record_id_l"), F.col("record_id_r")),
+                    F.lit(1024),
+                ),
+            ).otherwise(F.lit(0))
+            out = out.repartition(*[F.col(c) for c in argnames], salt)
         out = out.withColumn("_sims", udf(*[F.col(c) for c in argnames]))
         for i, e in enumerate(fuzzy):
             sims[e.feature] = F.element_at(F.col("_sims"), i + 1)
@@ -159,20 +188,7 @@ def score_pairs(
         key = ev.feature.replace(":", "_")
         left, right = F.col("fl_" + key), F.col("fr_" + key)
         if ev.func == FUNC_FUZZY:
-            log_odds = ctx.get_log_odds(ev.feature) or 0.0
-            threshold = (
-                ev.fuzzy_match_threshold
-                if ev.fuzzy_match_threshold is not None
-                else ctx.fuzzy_match_threshold
-            )
-            missing = _empty(left) | _empty(right)
-            sim = sims[ev.feature]
-            s = (
-                F.when(missing, F.lit(ctx.missing_field_points_proportion * log_odds))
-                .when(sim >= F.lit(threshold), sim * F.lit(log_odds))
-                .otherwise(F.lit(0.0))
-            )
-            m = missing
+            s, m = fuzzy_score_expr(ev, ctx, left, right, sims[ev.feature])
         else:
             s, m = evaluator_score(ev, algorithm, left, right)
         out = out.withColumn(fs_col(ev.feature), s)

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 
@@ -86,10 +87,22 @@ def _mpi_target(args) -> TableTarget:
 
 def _read_mpi_t(spark: SparkSession, target: TableTarget) -> DataFrame:
     if target.catalog:
+        from pyspark.errors import AnalysisException
+
         try:
             return target.read(spark).dropDuplicates(["record_id"])
-        except Exception:
-            return spark.createDataFrame([], MPI_SCHEMA)
+        except AnalysisException as exc:
+            # ONLY a genuinely-absent table means "empty MPI" (first
+            # run bootstrap).  Any other failure — permissions, catalog
+            # connectivity, corrupt metadata — must propagate: silently
+            # linking against an empty MPI would append every incoming
+            # record as a brand-new patient (mass duplication).  The
+            # reference's DB layer likewise raises on session failures
+            # (src/recordlinker/database/__init__.py).
+            cond = getattr(exc, "getErrorClass", lambda: None)() or ""
+            if "TABLE_OR_VIEW_NOT_FOUND" in cond or "TABLE_OR_VIEW_NOT_FOUND" in str(exc):
+                return spark.createDataFrame([], MPI_SCHEMA)
+            raise
     return _read_mpi(spark, target.ident)
 
 
@@ -150,27 +163,74 @@ def job_cluster(spark: SparkSession, args) -> None:
     labels.write.mode("overwrite").parquet(args.out)
 
 
+def _write_tune_manifest(path: str, manifest: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
 def job_tune(spark: SparkSession, args) -> None:
+    """Tuning with the reference's TuningJob run-state machine
+    (models/tuning.py:15-42, tuning/base.py:85-125): a manifest at
+    ``<out>.manifest.json`` records id / status
+    (running->completed|failed) / params / results / started_at /
+    finished_at, updated atomically at every transition — so an
+    orchestrator polling the manifest sees exactly what the
+    reference's ``GET /tuning/{id}`` reports, and a guard-rejected or
+    crashed run leaves status=failed with the error text instead of
+    vanishing."""
+    import datetime
+    import uuid
+
     from recordlinker_spark.operators.tuning import tune
 
-    mpi = _read_mpi_t(spark, _mpi_target(args))
-    result = tune(
-        mpi,
-        _algorithm(args),
-        n_true_pairs=args.n_pairs,
-        n_non_pairs=args.n_pairs,
-    )
-    with open(args.out, "w") as fh:
-        json.dump(
-            {
-                "log_odds": result.log_odds,
-                "bounds": {k: list(v) for k, v in result.bounds.items()},
-                "true_pairs": result.true_pairs,
-                "non_pairs": result.non_pairs,
-            },
-            fh,
-            indent=2,
+    def now() -> str:
+        return datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
         )
+
+    manifest_path = args.out + ".manifest.json"
+    manifest = {
+        "id": str(uuid.uuid4()),
+        "status": "running",
+        "params": {
+            "true_match_pairs_requested": args.n_pairs,
+            "non_match_pairs_requested": args.n_pairs,
+        },
+        "results": None,
+        "started_at": now(),
+        "finished_at": None,
+    }
+    _write_tune_manifest(manifest_path, manifest)
+    try:
+        mpi = _read_mpi_t(spark, _mpi_target(args))
+        result = tune(
+            mpi,
+            _algorithm(args),
+            n_true_pairs=args.n_pairs,
+            n_non_pairs=args.n_pairs,
+        )
+    except Exception as exc:
+        manifest.update(
+            status="failed",
+            results={"details": str(exc)},
+            finished_at=now(),
+        )
+        _write_tune_manifest(manifest_path, manifest)
+        raise
+    results = {
+        "log_odds": result.log_odds,
+        "bounds": {k: list(v) for k, v in result.bounds.items()},
+        "true_pairs": result.true_pairs,
+        "non_pairs": result.non_pairs,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(results, fh, indent=2)
+    manifest.update(status="completed", results=results, finished_at=now())
+    _write_tune_manifest(manifest_path, manifest)
 
 
 def job_reset(spark: SparkSession, args) -> None:

@@ -64,13 +64,25 @@ class TableTarget:
 
             _rewrite_mpi(df, self.ident)
 
-    def overwrite_partitions(self, df: DataFrame) -> None:
+    def overwrite_partitions(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Dynamic partition overwrite — the idempotent re-run
         primitive for checkpointed stages (replaces only the partitions
-        present in ``df``)."""
+        present in ``df``).
+
+        Iceberg mode derives the partition spec from the table; the
+        parquet fallback has no table metadata, so the caller MUST name
+        the partition columns — without ``partitionBy`` a dynamic
+        overwrite of an unpartitioned path silently replaces the whole
+        table, the opposite of the documented contract."""
         if self.catalog:
             df.writeTo(self.ident).overwritePartitions()
         else:
+            if not partition_by:
+                raise ValueError(
+                    "overwrite_partitions on a parquet target requires "
+                    "partition_by columns (an unpartitioned dynamic "
+                    "overwrite would replace the entire path)"
+                )
             df.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
-            ).parquet(self.ident)
+            ).partitionBy(*partition_by).parquet(self.ident)

@@ -220,3 +220,38 @@ def test_cluster_bootstrap(spark, tmp_path):
                     hit_pairs += 1
     assert total_pairs > 0
     assert hit_pairs / total_pairs > 0.5
+
+
+def test_tune_manifest(spark, tmp_path):
+    """job_tune writes the TuningJob-style run manifest on success AND
+    on guard rejection (reference models/tuning.py state machine)."""
+    docs_dir = str(tmp_path / "docs")
+    labels_dir = str(tmp_path / "labels")
+    mpi_dir = str(tmp_path / "mpi")
+    out = str(tmp_path / "tuned.json")
+
+    # >=1300 records: the birthday guard needs sample_size >~ 1202 for
+    # 1000 non-match pairs (mpi_service.py:645-654)
+    docs = synth_documents(spark, 1300, seed=7)
+    docs.select("doc_id", "spans").write.parquet(docs_dir)
+    docs.select(
+        F.col("doc_id").alias("record_id"),
+        F.col("person_key").alias("person_id"),
+    ).write.parquet(labels_dir)
+    jobs.job_seed(spark, A(documents=docs_dir, labels=labels_dir, mpi=mpi_dir))
+
+    # guard-rejected run (n_pairs below the 1000 floor) -> failed manifest
+    with pytest.raises(ValueError, match="Too few true match pairs"):
+        jobs.job_tune(spark, A(mpi=mpi_dir, out=out, n_pairs=50))
+    m = json.load(open(out + ".manifest.json"))
+    assert m["status"] == "failed"
+    assert "Too few true match pairs" in m["results"]["details"]
+    assert m["started_at"] and m["finished_at"]
+    assert m["params"]["true_match_pairs_requested"] == 50
+
+    # successful run -> completed manifest with the results embedded
+    jobs.job_tune(spark, A(mpi=mpi_dir, out=out, n_pairs=1000))
+    m = json.load(open(out + ".manifest.json"))
+    assert m["status"] == "completed"
+    assert m["results"]["log_odds"] and m["finished_at"]
+    assert json.load(open(out)) == m["results"]

@@ -47,6 +47,75 @@ def test_media_pipeline(spark):
     assert all(r["frame_no"] % 30 == 0 for r in fr)
 
 
+def _write_bmp(path, width, height):
+    """Minimal 24-bit uncompressed BMP writer (test fixture)."""
+    import struct
+
+    row = ((3 * width + 3) // 4) * 4
+    data = bytearray()
+    for y in range(height):
+        for x in range(width):
+            data += bytes([(x * 7) % 256, (y * 11) % 256, (x + y) % 256])
+        data += b"\x00" * (row - 3 * width)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(data), 2835, 2835, 0, 0)
+    path.write_bytes(header + info + data)
+
+
+def _write_ppm(path, width, height):
+    body = bytes((x * y) % 256 for y in range(height) for x in range(width) for _ in range(3))
+    path.write_bytes(b"P6\n# fixture\n%d %d\n255\n" % (width, height) + body)
+
+
+def _write_wav(path, seconds, rate=8000, channels=1):
+    import math
+    import wave as wv
+
+    n = int(seconds * rate)
+    frames = b"".join(
+        int(12000 * math.sin(2 * math.pi * 440 * i / rate)).to_bytes(
+            2, "little", signed=True
+        ) * channels
+        for i in range(n)
+    )
+    with wv.open(str(path), "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(frames)
+
+
+def test_real_decoders(spark, tmp_path):
+    """BMP/PPM/WAV decode end-to-end with fake=False: real file fetch,
+    real pure-Python decode, real width/height/duration out."""
+    _write_bmp(tmp_path / "a.bmp", 13, 7)
+    _write_ppm(tmp_path / "b.ppm", 9, 5)
+    _write_wav(tmp_path / "c.wav", 1.5, rate=8000, channels=2)
+
+    refs = spark.createDataFrame(
+        [("d1", 0, f"file://{tmp_path}/a.bmp", "image"),
+         ("d1", 1, str(tmp_path / "b.ppm"), "image"),
+         ("d2", 0, str(tmp_path / "c.wav"), "audio")],
+        "doc_id string, media_idx int, media_ref string, media_type string",
+    )
+    out = {
+        (r["doc_id"], r["media_idx"]): r
+        for r in decode_features(fetch_payloads(refs, fake=False),
+                                 dim=8, fake=False).collect()
+    }
+    bmp, ppm, wav = out[("d1", 0)], out[("d1", 1)], out[("d2", 0)]
+    assert (bmp["width"], bmp["height"]) == (13, 7)
+    assert (ppm["width"], ppm["height"]) == (9, 5)
+    assert wav["duration"] == 1.5 and wav["sample_rate"] == 8000
+    assert wav["channels"] == 2 and wav["width"] is None
+    for r in (bmp, ppm, wav):
+        assert len(r["feature"]) == 8
+        assert all(f is not None and 0.0 <= f <= 1.0 for f in r["feature"])
+    # a 440 Hz sine's RMS envelope is ~0.66 of peak amplitude everywhere
+    assert all(abs(f - 12000 / 32768 * 0.707) < 0.05 for f in wav["feature"])
+
+
 def test_streaming_incremental_link(spark, tmp_path):
     """The stream (1 file per micro-batch) reproduces the sequential
     linking outcome of the 6-patient scenario: [no,match,no,match,no,no],
