@@ -89,9 +89,7 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
         .withColumn("doc_id", F.col("doc_id").cast("long"))
         .repartition(CPUS),  # documents.parquet is one tiny file; spread
-        num_hashes=16,
-        bands=4,
-    ).count())
+    ).count())  # shipped default (64, 8) — the measured pareto config
     timed("ngram_jaccard", lambda: demo.q_ngram_jaccard(spark, SF_DIR).count())
 
     # LSH quality (not a timed query): recall of banded MinHash against
@@ -118,7 +116,7 @@ def main() -> None:
         )
         corpus = docs.unionByName(dupes).repartition(CPUS).cache()
         n_docs = docs.count()
-        cand = minhash_lsh_pairs(corpus, num_hashes=16, bands=4).cache()
+        cand = minhash_lsh_pairs(corpus).cache()  # shipped default (64, 8)
         hits = cand.filter(
             F.col("doc_id_r") - F.col("doc_id_l") == 1000000
         ).count()
