@@ -133,6 +133,7 @@ def blocked_persons(
     mpi_count: int | None = None,
     probe_count: int | None = None,
     broadcast_probe_rows: int = 250_000,
+    subsets: list[tuple[str, ...]] | None = None,
 ) -> DataFrame:
     """J1+J2: distinct ``(record_id_l, person_id)`` candidate clusters.
 
@@ -154,6 +155,9 @@ def blocked_persons(
     :param probe_count: known incoming row count (same caller shortcut).
     :param broadcast_probe_rows: incoming batches at or below this many
         records take the broadcast fast path — see below.
+    :param subsets: precomputed present-key subsets for this pass
+        (skips the per-pass driver collect — link_batch fuses every
+        pass's subset discovery into ONE job over the cached keys).
 
     Broadcast fast path: an MPI-linkage batch is typically orders of
     magnitude smaller than the MPI, so the probe side's composite rows
@@ -176,11 +180,12 @@ def blocked_persons(
     inc = missingness_filter(incoming, algorithm, algorithm_pass)
     inc = inc.select("record_id", "_subset", *[f"bk_{k}" for k in keys])
 
-    subsets = [
-        tuple(s["_subset"].split(","))
-        for s in inc.select("_subset").distinct().collect()
-        if s["_subset"]
-    ]
+    if subsets is None:
+        subsets = [
+            tuple(s["_subset"].split(","))
+            for s in inc.select("_subset").distinct().collect()
+            if s["_subset"]
+        ]
     if not subsets:
         return spark.createDataFrame([], "record_id_l string, person_id string")
 

@@ -172,9 +172,35 @@ def link_batch(
         block_kwargs.setdefault("mpi_count", counts[0])
         block_kwargs.setdefault("probe_count", counts[1])
 
+        # fuse every pass's present-key subset discovery into ONE
+        # driver job over the (just warmed) cached keys: each pass
+        # would otherwise pay its own distinct+collect round-trip —
+        # fixed, non-scaling driver latency x |passes|
+        from recordlinker_spark.operators.blocking import missingness_filter
+
+        sub_frame = None
+        for i, p in enumerate(algorithm.passes):
+            mf = missingness_filter(inc_bk, algorithm, p).select(
+                F.lit(i).alias("_p"), "_subset"
+            ).distinct()
+            sub_frame = mf if sub_frame is None else sub_frame.unionByName(mf)
+        subsets_by_pass: dict[int, list] = {i: [] for i in range(len(algorithm.passes))}
+        for r in sub_frame.collect():
+            if r["_subset"]:
+                subsets_by_pass[r["_p"]].append(tuple(r["_subset"].split(",")))
+        for i in subsets_by_pass:
+            subsets_by_pass[i].sort()
+        block_kwargs.setdefault("subsets_by_pass", subsets_by_pass)
+
+    subsets_by_pass = block_kwargs.pop("subsets_by_pass", None)
+    pass_index = {id(p): i for i, p in enumerate(algorithm.passes)}
+
     def build_pass(algorithm_pass):
+        kw = dict(block_kwargs)
+        if subsets_by_pass is not None:
+            kw["subsets"] = subsets_by_pass[pass_index[id(algorithm_pass)]]
         pairs = candidate_pairs(
-            inc_bk, mpi_bk, algorithm, algorithm_pass, **block_kwargs
+            inc_bk, mpi_bk, algorithm, algorithm_pass, **kw
         )
         with_feats = attach_pair_features(pairs, inc_feats, mpi_feats, algorithm_pass)
         scored = score_pairs(with_feats, algorithm, algorithm_pass)

@@ -34,7 +34,7 @@ import sys
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CORPUS = os.environ.get("SPARK_GRAFT_SCALE_CORPUS", "/tmp/rlspark_scale_corpus")
+CORPUS_BASE = os.environ.get("SPARK_GRAFT_SCALE_CORPUS", "/tmp/rlspark_scale_corpus")
 MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "executors")
 PKG_ZIP = "/tmp/recordlinker_spark_pkg.zip"
 
@@ -91,27 +91,44 @@ def reset_caches():
     incoming.cache(); mpi.cache()
     incoming.count(); mpi.count()
 
+n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+def counters():
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jobs = store.jobsList(None)
+    stages = sum(jobs.apply(i).stageIds().size() for i in range(jobs.size()))
+    return jobs.size(), stages
+
 # warmup (codegen + python workers) excluded; caches cleared before
 # every measured run so each recomputes the full pipeline
 run()
+j0, s0 = counters()
 walls = []
-for _ in range(3):
+for _ in range(n_runs):
     reset_caches()
     t0 = time.perf_counter()
     n_pairs, n_dec = run()
     walls.append(round(time.perf_counter() - t0, 3))
+j1, s1 = counters()
 walls.sort()
-dt = walls[1]
+dt = walls[len(walls) // 2]
 print(json.dumps({{"cpus": cpus, "master": master, "seconds": dt,
                    "runs": walls, "pairs": n_pairs, "decisions": n_dec,
                    "incoming": n_inc, "mpi": n_mpi,
+                   "jobs_per_run": round((j1 - j0) / n_runs, 1),
+                   "stages_per_run": round((s1 - s0) / n_runs, 1),
                    "pairs_per_sec": round(n_pairs / dt, 1)}}))
 spark.stop()
 """
 
 
+def corpus_dir(n_persons: int) -> str:
+    return f"{CORPUS_BASE}_{n_persons}"
+
+
 def ensure_corpus(n_persons: int) -> None:
-    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+    corpus = corpus_dir(n_persons)
+    if os.path.exists(os.path.join(corpus, "_SUCCESS")):
         return
     gen = f"""
 import sys; sys.path.insert(0, {REPO!r})
@@ -122,7 +139,7 @@ spark = (SparkSession.builder.master("local[16]")
          .config("spark.driver.memory", "16g").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 synth_documents(spark, {n_persons}, seed=42, hot_block_prob=0.02,
-                max_dups=6, partitions=64).write.mode("overwrite").parquet({CORPUS!r})
+                max_dups=6, partitions=64).write.mode("overwrite").parquet({corpus!r})
 spark.stop()
 """
     subprocess.run([sys.executable, "-c", gen], check=True)
@@ -154,11 +171,16 @@ def main() -> None:
         levels = [("N", "local[2]", 2), ("4N", "local[8]", 8)]
         desc = "local[2] vs local[8] single-JVM threads"
 
-    script = RUN_ONE.format(repo=REPO, corpus=CORPUS, pkg=PKG_ZIP)
+    script = RUN_ONE.format(repo=REPO, corpus=corpus_dir(n_persons), pkg=PKG_ZIP)
+    runs_per_level = {
+        "N": int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_N", "5")),
+        "4N": int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_4N", "3")),
+    }
     results = {}
     for tag, master, cpus in levels:
         proc = subprocess.run(
-            [sys.executable, "-c", script, master, str(cpus)],
+            [sys.executable, "-c", script, master, str(cpus),
+             str(runs_per_level[tag])],
             capture_output=True,
             text=True,
         )
@@ -178,7 +200,7 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", f"scaling_{MODE}.json"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", f"scaling_{MODE}_{n_persons}.json"), "w") as fh:
         json.dump(report, fh, indent=2)
     md = f"""# BENCH — scaling efficiency (N vs 4N, mode: {MODE})
 
@@ -186,7 +208,8 @@ Protocol: identical input (seeded synthetic span-document corpus,
 {n_persons} persons, {results["N"]["incoming"]} incoming vs
 {results["N"]["mpi"]} MPI records), identical two-pass dibbs-default
 link job (block -> score -> exact-median -> grade -> fold -> decide),
-{desc}, fresh JVMs per level, warmup excluded, median of 3 runs
+{desc}, fresh JVMs per level, warmup excluded, median of
+{runs_per_level["N"]} N-runs / {runs_per_level["4N"]} 4N-runs
 (run-to-run variance in this sandbox is +-20%).
 
 | parallelism | wall s (median) | all runs | pairs scored | pairs/sec |
