@@ -56,6 +56,10 @@ spark = (SparkSession.builder.master(master)
          # when executor count grows (measured 30-84s swings at 4N).
          # Remote cache fetch over local loopback is cheap — never wait.
          .config("spark.locality.wait", "0")
+         # back-to-back measured runs accumulate broadcast/shuffle
+         # blocks faster than the 30-min default periodic cleaner GC;
+         # measured: executor heap OOM in the 5th 1.6M-person run
+         .config("spark.cleaner.periodicGC.interval", "45s")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 if master.startswith("local-cluster"):
@@ -88,6 +92,10 @@ def run():
 
 def reset_caches():
     spark.catalog.clearCache()
+    # force ContextCleaner to release the previous run's broadcast and
+    # shuffle blocks before the next run starts (see periodicGC note)
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
     incoming.cache(); mpi.cache()
     incoming.count(); mpi.count()
 
@@ -162,9 +170,15 @@ def main() -> None:
     ensure_corpus(n_persons)
     ensure_pkg_zip()
     if MODE == "executors":
+        # executor memory scales with the corpus point (a real cluster
+        # sizes executors to the data); IDENTICAL at N and 4N within a
+        # point so the efficiency ratio stays honest — in particular the
+        # single executor at N must not be the only level that spills
+        # its caches to disk
+        exec_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MB", "12288"))
         levels = [
-            ("N", "local-cluster[1,2,12288]", 2),
-            ("4N", "local-cluster[4,2,12288]", 8),
+            ("N", f"local-cluster[1,2,{exec_mb}]", 2),
+            ("4N", f"local-cluster[4,2,{exec_mb}]", 8),
         ]
         desc = "1 executor x 2 cores vs 4 executors x 2 cores (separate JVMs, --py-files packaging)"
     else:
