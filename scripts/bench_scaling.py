@@ -45,12 +45,19 @@ from pyspark.sql import SparkSession, functions as F
 
 master = sys.argv[1]
 cpus = int(sys.argv[2])
+# local-cluster[k,c,M] only sets the WORKER's memory capacity; the
+# executor JVM itself still launches at the spark.executor.memory
+# default (1g) unless set explicitly — measured: -Xmx1024M executors
+# under a 12288M worker, GC-thrashing the N level and OOMing large
+# corpora.  Size the executor heap to the advertised capacity.
+exec_mb = os.environ.get("SPARK_GRAFT_EXEC_MB", "12288")
 spark = (SparkSession.builder.master(master)
          .appName(f"rlspark-scale-{{cpus}}")
          .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 16)))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "12g")
+         .config("spark.executor.memory", f"{{exec_mb}}m")
          # cached partitions pin tasks to the executor that warmed them;
          # the default 3s-per-level locality wait idles cores exactly
          # when executor count grows (measured 30-84s swings at 4N).

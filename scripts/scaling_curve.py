@@ -22,7 +22,7 @@ import json
 import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SIZES = [400000, 1600000, 6400000]
+SIZES = [400000, 1600000, 3200000]
 
 
 def main() -> None:
