@@ -51,10 +51,15 @@ cpus = int(sys.argv[2])
 # under a 12288M worker, GC-thrashing the N level and OOMing large
 # corpora.  Size the executor heap to the advertised capacity.
 exec_mb = os.environ.get("SPARK_GRAFT_EXEC_MB", "12288")
-spark = (SparkSession.builder.master(master)
+# experiment knobs: AQE toggle + arbitrary extra confs (JSON dict) so
+# fixed-cost (stage latency) hypotheses can be A/B'd without editing
+# the protocol script between runs
+aqe = "false" if os.environ.get("SPARK_GRAFT_AQE", "1") == "0" else "true"
+extra_conf = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{{}}"))
+builder = (SparkSession.builder.master(master)
          .appName(f"rlspark-scale-{{cpus}}")
          .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 16)))
-         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.enabled", aqe)
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "12g")
          .config("spark.executor.memory", f"{{exec_mb}}m")
@@ -66,8 +71,10 @@ spark = (SparkSession.builder.master(master)
          # back-to-back measured runs accumulate broadcast/shuffle
          # blocks faster than the 30-min default periodic cleaner GC;
          # measured: executor heap OOM in the 5th 1.6M-person run
-         .config("spark.cleaner.periodicGC.interval", "45s")
-         .getOrCreate())
+         .config("spark.cleaner.periodicGC.interval", "45s"))
+for _k, _v in extra_conf.items():
+    builder = builder.config(_k, str(_v))
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 if master.startswith("local-cluster"):
     spark.sparkContext.addPyFile({pkg!r})
@@ -221,7 +228,11 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", f"scaling_{MODE}_{n_persons}.json"), "w") as fh:
+    # SPARK_GRAFT_SCALE_TAG: suffix for experiment runs so A/B probes
+    # don't overwrite the committed protocol points
+    tag = os.environ.get("SPARK_GRAFT_SCALE_TAG", "")
+    tag = f"_{tag}" if tag else ""
+    with open(os.path.join(REPO, "BENCH", f"scaling_{MODE}_{n_persons}{tag}.json"), "w") as fh:
         json.dump(report, fh, indent=2)
     md = f"""# BENCH — scaling efficiency (N vs 4N, mode: {MODE})
 
@@ -245,7 +256,10 @@ See BENCH/PHASES.md for the per-phase scaling evidence and the round-2
 fixes (unified census, eager cache warm-up, worker-global similarity
 memo, cores-proportional shuffle partitions).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    # per-point report; BENCH/BASELINE.md (the multi-point curve) is
+    # regenerated separately by scripts/scaling_curve.py so a single
+    # re-run can't clobber the curve narrative
+    with open(os.path.join(REPO, "BENCH", f"scaling_{MODE}_{n_persons}{tag}.md"), "w") as fh:
         fh.write(md)
     print(json.dumps(report))
 

@@ -44,10 +44,10 @@ def test_ablation_does_not_poison_memo(spark):
         [(["jonathan"], ["jnathan"])] * 50,
         "l array<string>, r array<string>",
     ).repartition(1)  # one partition -> one python worker sees both runs
-    udf_abl = multi_max_similarity_udf(("jarowinkler",), True)
+    udf_abl = multi_max_similarity_udf(("JaroWinkler",), True)
     abl = df.select(udf_abl("l", "r").alias("s")).collect()
     assert all(r["s"][0] == 1.0 for r in abl)
-    udf_real = multi_max_similarity_udf(("jarowinkler",), False)
+    udf_real = multi_max_similarity_udf(("JaroWinkler",), False)
     real = df.select(udf_real("l", "r").alias("s")).collect()
     # jw("jonathan","jnathan") is high but NOT 1.0; a poisoned memo
     # would return exactly 1.0
