@@ -339,3 +339,90 @@ def simhash_buckets(
     return sim.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("bk")
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.85,
+    dim: int = 64,
+    bands: int = 8,
+    bits_per_band: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded sign-LSH candidate
+    generation + exact-cosine verification.
+
+    The dedup twin of :func:`recordlinker_spark.operators.simsearch.ivf_topk`
+    (same Charikar sign-LSH family): each vector is hashed into
+    ``bands`` independent buckets of ``bits_per_band`` hyperplane sign
+    bits; two vectors are candidates iff they share ANY band bucket
+    (OR-of-ANDs, the MinHash-LSH S-curve over angular similarity:
+    P(candidate) = 1 - (1 - p^b)^r with p = 1 - theta/pi), and a
+    candidate is a near-dup iff its exact cosine >= ``threshold``.
+
+    Scale shape: the exploded (band, bucket) rows carry ONLY ids — the
+    self-join shuffles ``bands x |corpus|`` short rows, never the
+    vectors; deduped candidate pairs then join the vectors back from
+    the corpus scan (2 hash joins on the id, each a fresh columnar
+    parquet read at production — cheaper than dragging 2 x dim floats
+    through the band shuffle).  Hot buckets (e.g. the all-zeros bucket
+    of near-zero vectors) are dropped above ``max_bucket_size``, the
+    same |bucket|^2 guard as :func:`minhash_lsh_pairs`.
+
+    Returns (vec_id_l, vec_id_r, cos), vec_id_l < vec_id_r.
+    """
+    from recordlinker_spark.operators.simsearch import (
+        cosine,
+        hyperplanes,
+        signature_col,
+    )
+
+    planes = hyperplanes(dim, bands * bits_per_band, seed)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            signature_col(
+                F.col(vec_col),
+                planes[b * bits_per_band : (b + 1) * bits_per_band],
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    sig = corpus.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    if max_bucket_size is not None:
+        sizes = sig.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        sig = sig.join(
+            F.broadcast(
+                sizes.filter(F.col("_n") <= max_bucket_size).select("band", "bucket")
+            ),
+            ["band", "bucket"],
+        )
+    cand = (
+        sig.select(F.col(id_col).alias("vec_id_l"), "band", "bucket")
+        .join(
+            sig.select(F.col(id_col).alias("vec_id_r"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("vec_id_l") < F.col("vec_id_r"))
+        .select("vec_id_l", "vec_id_r")
+        .dropDuplicates(["vec_id_l", "vec_id_r"])
+    )
+    vl = corpus.select(F.col(id_col).alias("vec_id_l"), F.col(vec_col).alias("_vl"))
+    vr = corpus.select(F.col(id_col).alias("vec_id_r"), F.col(vec_col).alias("_vr"))
+    return (
+        cand.join(vl, "vec_id_l")
+        .join(vr, "vec_id_r")
+        .select(
+            "vec_id_l",
+            "vec_id_r",
+            F.round(cosine(F.col("_vl"), F.col("_vr")), 9).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )

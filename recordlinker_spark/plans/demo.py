@@ -501,6 +501,23 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded sign-LSH candidates
+    (8 bands x 4 bits over the same seeded hyperplane family as
+    ivf_topk) verified by exact cosine >= 0.35.  The testdata
+    embeddings are label-clustered Gaussians with no engineered
+    near-identical pairs, so the threshold sits where real pairs exist;
+    the oracle replays banding + verification exactly, making the
+    candidate set (not just the survivors) part of the gate."""
+    from recordlinker_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(
+        emb, threshold=0.35, dim=64, bands=8, bits_per_band=4,
+        max_bucket_size=100000,
+    ).select("vec_id_l", "vec_id_r", F.round("cos", 6).alias("cos"))
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling per-user event aggregation (batch window)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -534,6 +551,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "ivf_topk": q_ivf_topk,
+    "embedding_neardup": q_embedding_neardup,
 }
 
 
@@ -947,6 +965,62 @@ def oracle_queries() -> dict[str, str]:
         )
         select query_id, vec_id, round(cos, 6) as cos, cast(rank as int) as rank
         from ranked where rank <= 5
+    """
+
+    # --- embedding_neardup: replay banded sign-LSH + cosine verify
+    nd_bands, nd_bits = 8, 4
+    nd_planes = hyperplanes(dim=64, nbits=nd_bands * nd_bits, seed=42)
+    nd_dots = ", ".join(
+        "list_dot_product(v, [{}]) as d{}".format(
+            ", ".join(repr(p) for p in plane), i
+        )
+        for i, plane in enumerate(nd_planes)
+    )
+    nd_buckets = ", ".join(
+        " + ".join(
+            f"(case when d{b * nd_bits + i} >= 0 then {1 << i} else 0 end)"
+            for i in range(nd_bits)
+        )
+        + f" as bucket{b}"
+        for b in range(nd_bands)
+    )
+    nd_bucket_case = (
+        "case b.band "
+        + " ".join(f"when {b} then bucket{b}" for b in range(nd_bands))
+        + " end"
+    )
+    out["embedding_neardup"] = f"""
+        with e as (
+          select vec_id, [cast(x as double) for x in embedding] as v
+          from embeddings
+        ),
+        d as (select vec_id, v, {nd_dots} from e),
+        bkt as (select vec_id, {nd_buckets} from d),
+        sig as (
+          select vec_id, b.band, {nd_bucket_case} as bucket
+          from bkt cross join (select unnest(range({nd_bands})) as band) b
+        ),
+        ok as (select band, bucket from sig group by band, bucket
+               having count(*) <= 100000),
+        sig2 as (select sig.* from sig join ok
+                 on sig.band = ok.band and sig.bucket = ok.bucket),
+        cand as (
+          select distinct l.vec_id as vec_id_l, r.vec_id as vec_id_r
+          from sig2 l join sig2 r
+          on l.band = r.band and l.bucket = r.bucket
+             and l.vec_id < r.vec_id
+        ),
+        scored as (
+          select cand.vec_id_l, cand.vec_id_r,
+                 round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 9) as cos
+          from cand
+          join e a on a.vec_id = cand.vec_id_l
+          join e b on b.vec_id = cand.vec_id_r
+        )
+        select vec_id_l, vec_id_r, round(cos, 6) as cos
+        from scored where cos >= 0.35
     """
 
     out["tuning_class_probs"] = f"""

@@ -290,3 +290,56 @@ def test_ranked_multiprobe_recall_monotone_to_exhaustive(spark, emb_df):
     r4, r8, r16 = recall(4), recall(8), recall(16)
     assert r4 <= r8 <= r16
     assert r16 == 1.0
+
+
+def test_embedding_neardup_finds_planted_pairs(spark):
+    """Planted near-identical vectors (cos ~0.99) must all surface as
+    verified pairs; verification guarantees zero pairs below the
+    threshold; a python brute-force twin pins the survivors' cosines."""
+    import random as _r
+
+    from recordlinker_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = _r.Random(7)
+    rows = []
+    for i in range(30):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i, base))
+        # planted dup: tiny perturbation -> cosine ~0.999
+        rows.append((1000 + i, [x + rng.gauss(0, 0.02) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_neardup_pairs(
+        df, threshold=0.9, dim=64, bands=8, bits_per_band=4
+    ).collect()
+    pairs = {(r["vec_id_l"], r["vec_id_r"]): r["cos"] for r in got}
+    # every planted pair found (8 x 4-bit bands at cos ~.999 -> recall ~1)
+    for i in range(30):
+        assert (i, 1000 + i) in pairs, f"planted pair {i} missed"
+    # verification floor holds
+    assert all(c >= 0.9 for c in pairs.values())
+    # python twin: exact cosine agrees to 1e-9 on the survivors
+    vec = {vid: v for vid, v in rows}
+    import math as _m
+
+    for (l, r), c in pairs.items():
+        dot = sum(x * y for x, y in zip(vec[l], vec[r]))
+        nl = _m.sqrt(sum(x * x for x in vec[l]))
+        nr = _m.sqrt(sum(x * x for x in vec[r]))
+        assert abs(c - round(dot / (nl * nr), 9)) < 1e-9
+
+
+def test_embedding_neardup_bucket_cap_drops_hot_bucket(spark):
+    """A degenerate corpus (identical vectors -> one hot bucket per
+    band) returns no pairs when the cap excludes the bucket."""
+    from recordlinker_spark.operators.dedup import embedding_neardup_pairs
+
+    rows = [(i, [1.0] * 64) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = embedding_neardup_pairs(
+        df, threshold=0.5, dim=64, bands=4, bits_per_band=4, max_bucket_size=10
+    )
+    assert capped.count() == 0
+    uncapped = embedding_neardup_pairs(
+        df, threshold=0.5, dim=64, bands=4, bits_per_band=4
+    )
+    assert uncapped.count() == 50 * 49 // 2
