@@ -56,9 +56,21 @@ def main() -> None:
 
     # warm the JVM, codegen cache, and Python UDF workers outside the
     # timings (steady-state throughput is the metric — a long-running
-    # cluster job doesn't pay worker cold-start per batch)
+    # cluster job doesn't pay worker cold-start per batch).  The
+    # sf0.001 run alone touches only a few of local[N]'s worker slots,
+    # so the first timed query would still pay (N - few) x
+    # pandas/pyarrow import cost — spawn every worker explicitly with
+    # a trivial Arrow UDF over one partition per core.
     spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
     demo.q_pair_scores(spark, "/root/testdata/sf0.001").count()
+    def _warm(batches):
+        from recordlinker_spark.functions import similarity  # noqa: F401
+        for b in batches:
+            yield b
+
+    spark.range(CPUS * 4, numPartitions=CPUS).mapInPandas(
+        _warm, "id long"
+    ).count()
 
     # ---- headline: full link pipeline; pairs-scored/sec
     def run_link():

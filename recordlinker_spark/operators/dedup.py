@@ -30,6 +30,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Universal-hash modulus for the minhash permutations.  MUST be small
 # enough that ``h * a`` (h < 2^28, a < 2^31 -> product < 2^59)
@@ -205,11 +206,20 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
-    # bucket-size cap: boilerplate buckets explode quadratically
-    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    banded = banded.join(
-        counts.filter(F.col("_n") <= max_bucket_size).select("band", "bucket"),
-        ["band", "bucket"],
+    # bucket-size cap: boilerplate buckets explode quadratically.
+    # Window-count over (band, bucket) instead of a groupBy+join: the
+    # window shuffles banded by exactly the self-join's key, so the
+    # join below reuses ONE exchange for the cap AND both join sides —
+    # the signature aggregation runs once per query instead of 4x
+    # (measured 20s -> 4s at sf0.1; a persist() variant was slower at
+    # 6.4s because it pays materialization).  A pathological bucket
+    # buffers (and spills) as one window partition, but it is exactly
+    # the bucket the cap then drops.
+    w = Window.partitionBy("band", "bucket")
+    banded = (
+        banded.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= max_bucket_size)
+        .drop("_n")
     )
 
     left = banded.alias("l")
@@ -397,12 +407,16 @@ def embedding_neardup_pairs(
         F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
     )
     if max_bucket_size is not None:
-        sizes = sig.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-        sig = sig.join(
-            F.broadcast(
-                sizes.filter(F.col("_n") <= max_bucket_size).select("band", "bucket")
-            ),
-            ["band", "bucket"],
+        # window-count over the self-join's own key (same trick as
+        # minhash_lsh_pairs): the cap, and both join sides below, share
+        # ONE (band, bucket) exchange — hyperplane signatures are
+        # computed once per query instead of 3x (measured 8s -> ~4s at
+        # sf0.1)
+        w = Window.partitionBy("band", "bucket")
+        sig = (
+            sig.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
         )
     cand = (
         sig.select(F.col(id_col).alias("vec_id_l"), "band", "bucket")
