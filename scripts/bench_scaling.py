@@ -195,6 +195,22 @@ def main() -> None:
             ("4N", f"local-cluster[4,2,{exec_mb}]", 8),
         ]
         desc = "1 executor x 2 cores vs 4 executors x 2 cores (separate JVMs, --py-files packaging)"
+    elif MODE == "executors1":
+        # Narrow-executor protocol: 1 core per executor, so the 4N level
+        # keeps at most ~5 of this box's 32 cores busy (4 executor cores
+        # + driver) and never saturates the single shared memory bus.
+        # The wide protocol's 8 concurrent cores at 4N book bus
+        # contention into the "non-scaling" term F, which a real
+        # multi-host 4-executor cluster does not share — this mode
+        # measures executor-count scaling (the north-rule quantity: N vs
+        # 4N executors) with that one-box artifact minimized.  Same
+        # corpus, same job, same per-executor shape at both levels.
+        exec_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MB", "12288"))
+        levels = [
+            ("N", f"local-cluster[1,1,{exec_mb}]", 1),
+            ("4N", f"local-cluster[4,1,{exec_mb}]", 4),
+        ]
+        desc = "1 executor x 1 core vs 4 executors x 1 core (separate JVMs, --py-files packaging; <=5 of 32 host cores busy, no shared-bus saturation)"
     else:
         levels = [("N", "local[2]", 2), ("4N", "local[8]", 8)]
         desc = "local[2] vs local[8] single-JVM threads"
