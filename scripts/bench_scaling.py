@@ -220,20 +220,50 @@ def main() -> None:
         "N": int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_N", "5")),
         "4N": int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_4N", "3")),
     }
+    # SPARK_GRAFT_CONCURRENT=1: run the two levels at the same time,
+    # each taskset-pinned to a DISJOINT core set (defaults: N -> 6
+    # cores, 4N -> 16 cores, on a 32-core host).  This mirrors how a
+    # real N-vs-4N comparison uses different hosts: the levels never
+    # compete for CPUs, and with 1-core executors at most 5 compute
+    # cores are busy box-wide, so shared-memory-bus pressure stays
+    # negligible.  Java 17 + CPython both respect sched_getaffinity,
+    # so each JVM sizes its GC/fork-join pools to its own core set.
+    concurrent = os.environ.get("SPARK_GRAFT_CONCURRENT", "0") == "1"
+    pins = {
+        "N": os.environ.get("SPARK_GRAFT_PIN_N", "0-5"),
+        "4N": os.environ.get("SPARK_GRAFT_PIN_4N", "6-21"),
+    }
     results = {}
-    for tag, master, cpus in levels:
-        proc = subprocess.run(
-            [sys.executable, "-c", script, master, str(cpus),
-             str(runs_per_level[tag])],
-            capture_output=True,
-            text=True,
-        )
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr[-8000:])
-            raise SystemExit(f"level {tag} ({master}) failed rc={proc.returncode}")
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[tag] = json.loads(line)
-        print(results[tag])
+    if concurrent:
+        procs = {}
+        for tag, master, cpus in levels:
+            cmd = ["taskset", "-c", pins[tag], sys.executable, "-c", script,
+                   master, str(cpus), str(runs_per_level[tag])]
+            procs[tag] = subprocess.Popen(
+                cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for tag, _master, _cpus in levels:
+            out, err = procs[tag].communicate()
+            if procs[tag].returncode != 0:
+                sys.stderr.write(err[-8000:])
+                raise SystemExit(f"level {tag} failed rc={procs[tag].returncode}")
+            line = [l for l in out.splitlines() if l.startswith("{")][-1]
+            results[tag] = json.loads(line)
+            print(results[tag])
+        desc += f"; levels run CONCURRENTLY on disjoint pinned core sets (N: cpus {pins['N']}, 4N: cpus {pins['4N']})"
+    else:
+        for tag, master, cpus in levels:
+            proc = subprocess.run(
+                [sys.executable, "-c", script, master, str(cpus),
+                 str(runs_per_level[tag])],
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-8000:])
+                raise SystemExit(f"level {tag} ({master}) failed rc={proc.returncode}")
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            results[tag] = json.loads(line)
+            print(results[tag])
 
     eff = results["4N"]["pairs_per_sec"] / (4 * results["N"]["pairs_per_sec"])
     report = {
