@@ -122,15 +122,32 @@ def counters():
     return jobs.size(), stages
 
 # warmup (codegen + python workers) excluded; caches cleared before
-# every measured run so each recomputes the full pipeline
-run()
+# every measured run so each recomputes the full pipeline.
+# SPARK_GRAFT_WARMUP_FRAC < 1 warms on a seeded sample of the incoming
+# side instead of the full corpus — same code paths compiled (codegen,
+# Arrow UDF workers, shuffle serde), ~frac of the wall, IDENTICAL at
+# both levels and excluded from measurement either way.  Large corpus
+# points use it so the warmup doesn't cost a full measured-run wall.
+wfrac = float(os.environ.get("SPARK_GRAFT_WARMUP_FRAC", "1"))
+if wfrac < 1.0:
+    full_incoming = incoming
+    incoming = full_incoming.sample(fraction=wfrac, seed=7).cache()
+    incoming.count()
+    run()
+    incoming.unpersist()
+    incoming = full_incoming
+    reset_caches()
+else:
+    run()
 j0, s0 = counters()
 walls = []
-for _ in range(n_runs):
+for i in range(n_runs):
     reset_caches()
     t0 = time.perf_counter()
     n_pairs, n_dec = run()
     walls.append(round(time.perf_counter() - t0, 3))
+    print(f"run {{i + 1}}/{{n_runs}} [{{master}}]: {{walls[-1]}}s",
+          file=sys.stderr, flush=True)
 j1, s1 = counters()
 walls.sort()
 dt = walls[len(walls) // 2]
@@ -239,13 +256,17 @@ def main() -> None:
         for tag, master, cpus in levels:
             cmd = ["taskset", "-c", pins[tag], sys.executable, "-c", script,
                    master, str(cpus), str(runs_per_level[tag])]
+            # stderr to a live file so per-run progress is observable
+            # while the levels run (hours-long points)
+            errf = open(f"/tmp/rlspark_scale_{MODE}_{n_persons}_{tag}.err", "w")
             procs[tag] = subprocess.Popen(
-                cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+                cmd, stdout=subprocess.PIPE, stderr=errf, text=True)
         for tag, _master, _cpus in levels:
-            out, err = procs[tag].communicate()
+            out, _ = procs[tag].communicate()
             if procs[tag].returncode != 0:
-                sys.stderr.write(err[-8000:])
-                raise SystemExit(f"level {tag} failed rc={procs[tag].returncode}")
+                raise SystemExit(
+                    f"level {tag} failed rc={procs[tag].returncode}; "
+                    f"see /tmp/rlspark_scale_{MODE}_{n_persons}_{tag}.err")
             line = [l for l in out.splitlines() if l.startswith("{")][-1]
             results[tag] = json.loads(line)
             print(results[tag])
