@@ -83,15 +83,27 @@ from recordlinker_spark.config import dibbs_default
 from recordlinker_spark.sources.ingest import parse_documents
 from recordlinker_spark.operators.linkjob import link_batch
 
-docs = spark.read.parquet({corpus!r})
-# the link pipeline never touches the span payload after parsing;
-# caching it would only inflate executor storage memory
-records = parse_documents(docs.select("doc_id", "spans")).drop("spans")
-split = F.abs(F.xxhash64("record_id")) % 5
-incoming = records.filter(split == 0)
-truth = docs.select(F.col("doc_id").alias("record_id"), "person_key")
-mpi = records.filter(split != 0).join(truth, "record_id") \
-    .withColumnRenamed("person_key", "person_id")
+# Pre-parsed inputs (written once by the launcher at full host
+# parallelism): the Arrow parse of the span documents is NOT part of
+# the measured window — each measured run times the link pipeline over
+# warmed input caches — but reset_caches() rebuilds those caches
+# between runs, and re-running the parse on a 1-core executor costs
+# ~10x the parquet scan.  Reading the materialized records keeps the
+# unmeasured warm phase proportional at every level; identical data
+# either way.
+if os.path.exists(os.path.join({corpus!r} + "_inc", "_SUCCESS")):
+    incoming = spark.read.parquet({corpus!r} + "_inc")
+    mpi = spark.read.parquet({corpus!r} + "_mpi")
+else:
+    docs = spark.read.parquet({corpus!r})
+    # the link pipeline never touches the span payload after parsing;
+    # caching it would only inflate executor storage memory
+    records = parse_documents(docs.select("doc_id", "spans")).drop("spans")
+    split = F.abs(F.xxhash64("record_id")) % 5
+    incoming = records.filter(split == 0)
+    truth = docs.select(F.col("doc_id").alias("record_id"), "person_key")
+    mpi = records.filter(split != 0).join(truth, "record_id") \
+        .withColumnRenamed("person_key", "person_id")
 incoming = incoming.cache(); mpi = mpi.cache()
 n_inc = incoming.count(); n_mpi = mpi.count()
 alg = dibbs_default()
@@ -184,6 +196,36 @@ spark.stop()
     subprocess.run([sys.executable, "-c", gen], check=True)
 
 
+def ensure_parsed(n_persons: int) -> None:
+    """Materialize the parsed incoming/MPI inputs once at full host
+    parallelism so every level's (unmeasured) cache warms are parquet
+    scans instead of single-core Arrow re-parses."""
+    corpus = corpus_dir(n_persons)
+    if os.path.exists(os.path.join(corpus + "_inc", "_SUCCESS")):
+        return
+    gen = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from pyspark.sql import SparkSession, functions as F
+from recordlinker_spark.sources.ingest import parse_documents
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "64")
+         .config("spark.driver.memory", "24g").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet({corpus!r})
+records = parse_documents(docs.select("doc_id", "spans")).drop("spans")
+split = F.abs(F.xxhash64("record_id")) % 5
+records.filter(split == 0).repartition(16) \\
+    .write.mode("overwrite").parquet({corpus!r} + "_inc")
+truth = docs.select(F.col("doc_id").alias("record_id"), "person_key")
+records.filter(split != 0).join(truth, "record_id") \\
+    .withColumnRenamed("person_key", "person_id").repartition(32) \\
+    .write.mode("overwrite").parquet({corpus!r} + "_mpi")
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", gen], check=True)
+
+
 def ensure_pkg_zip() -> None:
     with zipfile.ZipFile(PKG_ZIP, "w", zipfile.ZIP_DEFLATED) as zf:
         pkg = os.path.join(REPO, "recordlinker_spark")
@@ -199,6 +241,7 @@ def ensure_pkg_zip() -> None:
 def main() -> None:
     n_persons = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     ensure_corpus(n_persons)
+    ensure_parsed(n_persons)
     ensure_pkg_zip()
     if MODE == "executors":
         # executor memory scales with the corpus point (a real cluster

