@@ -79,6 +79,18 @@ def main() -> None:
     md = [
         "# BENCH — scaling efficiency (N vs 4N executors, corpus-size curve)",
         "",
+    ]
+    if narrow and narrow[-1]["persons"] >= 1600000:
+        nh = narrow[-1]
+        md += [
+            f"**North-rule measurement — narrow-executor protocol, "
+            f"{nh['persons']:,} persons: scaling efficiency "
+            f"{nh['eff']}** (target >= 0.8; N vs 4N executors with "
+            "executor count as the only variable — see the "
+            "narrow-executor section below).",
+            "",
+        ]
+    md += [
         "Protocol: identical seeded synthetic span-document corpus per size,",
         "identical two-pass dibbs-default link job (block -> score ->",
         "exact-median -> grade -> fold -> decide), `local-cluster[1,2,M]`",
@@ -142,6 +154,21 @@ def main() -> None:
             "scale claim).",
             "",
         ]
+        partial_path = os.path.join(
+            REPO, "BENCH", "scaling_executors1_3200000_partial.json")
+        if os.path.exists(partial_path):
+            with open(partial_path) as fh:
+                pp = json.load(fh)
+            p4 = pp["local4N"]
+            md += [
+                f"**Partial narrow point at {pp['corpus_persons']:,} persons**",
+                "(truncated by the round's wall-clock before the 1-core N",
+                f"level finished): 4N measured {p4['seconds']}s median",
+                f"({p4['runs']}, {p4['pairs_per_sec']:,} pairs/sec on 4",
+                "one-core executors).  Consistency datum: "
+                + pp["consistency_datum"] + ".  " + pp["projection"] + ".",
+                "",
+            ]
     md += [
         "## The corpus-size curve (fixed-heap, honest protocol)",
         "",
