@@ -51,6 +51,9 @@ cpus = int(sys.argv[2])
 # under a 12288M worker, GC-thrashing the N level and OOMing large
 # corpora.  Size the executor heap to the advertised capacity.
 exec_mb = os.environ.get("SPARK_GRAFT_EXEC_MB", "12288")
+# driver heap is also a knob: the matched-replica protocol runs four
+# concurrent drivers, so the box can't afford 4 x 12g defaults
+driver_mb = os.environ.get("SPARK_GRAFT_DRIVER_MB", "12288")
 # experiment knobs: AQE toggle + arbitrary extra confs (JSON dict) so
 # fixed-cost (stage latency) hypotheses can be A/B'd without editing
 # the protocol script between runs
@@ -61,7 +64,7 @@ builder = (SparkSession.builder.master(master)
          .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 16)))
          .config("spark.sql.adaptive.enabled", aqe)
          .config("spark.ui.enabled", "false")
-         .config("spark.driver.memory", "12g")
+         .config("spark.driver.memory", f"{{driver_mb}}m")
          .config("spark.executor.memory", f"{{exec_mb}}m")
          # cached partitions pin tasks to the executor that warmed them;
          # the default 3s-per-level locality wait idles cores exactly
