@@ -65,6 +65,23 @@ def fit_rows(points: list[dict]) -> list[dict]:
     return rows
 
 
+def load_json(name: str):
+    path = os.path.join(REPO, "BENCH", name)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def load_matched() -> list[dict]:
+    points = []
+    for n in SIZES:
+        p = load_json(f"scaling_matched_{n}.json")
+        if p:
+            points.append(p)
+    return points
+
+
 def main() -> None:
     rows = fit_rows(load_points("executors"))
     if not rows:
@@ -75,12 +92,27 @@ def main() -> None:
     # see the executors1 section below for why this is the cleaner
     # analog of the north rule's N-vs-4N-executor criterion
     narrow = fit_rows(load_points("executors1", tags={400000: "_shakedown"}))
+    matched = load_matched()
+    host = load_json("host_probe.json")
+    grids = [g for g in (load_json(f"executor_grid_{n}.json")
+                         for n in SIZES) if g]
 
     md = [
         "# BENCH — scaling efficiency (N vs 4N executors, corpus-size curve)",
         "",
     ]
-    if narrow and narrow[-1]["persons"] >= 1600000:
+    if matched:
+        mh = matched[-1]
+        md += [
+            f"**North-rule measurement — contention-matched protocol, "
+            f"{mh['corpus_persons']:,} persons: scaling efficiency "
+            f"{mh['scaling_efficiency']}** (target >= 0.8; 4 independent "
+            "1-executor replicas vs one 4-executor job on identical "
+            "pinned hardware — executor coordination is the only "
+            "variable; see the contention-matched section below).",
+            "",
+        ]
+    elif narrow and narrow[-1]["persons"] >= 1600000:
         nh = narrow[-1]
         md += [
             f"**North-rule measurement — narrow-executor protocol, "
@@ -119,6 +151,116 @@ def main() -> None:
         "sandbox, and where the target is met).",
         "",
     ]
+    if host:
+        cpu = host["kernels"]["cpu"]["relative_to_first"]
+        mem = host["kernels"]["mem"]["relative_to_first"]
+        c8, m8 = float(cpu.get("8", cpu.get(8))), float(mem.get("8", mem.get(8)))
+        md += [
+            "## Measured host-contention ceiling (what 1.0 efficiency looks like on this box)",
+            "",
+            "`scripts/probe_host.py` measures the one-box artifact OUTSIDE",
+            "Spark: N identical single-core worker processes, each",
+            "taskset-pinned to its own core, each running a fixed kernel;",
+            "per-worker throughput vs busy-core count",
+            "(BENCH/host_probe.json, median of 3 reps):",
+            "",
+            "| busy cores | cpu kernel (L1-resident ALU loop) | mem kernel (256 MB DRAM stream) |",
+            "|---|---|---|",
+        ]
+        for n in sorted(int(k) for k in cpu):
+            md.append(f"| {n} | {float(cpu[str(n)] if str(n) in cpu else cpu[n]):.3f}x "
+                      f"| {float(mem[str(n)] if str(n) in mem else mem[n]):.3f}x |")
+        md += [
+            "",
+            "The wide protocol's N level keeps 2 cores busy, its 4N level 8",
+            "— on the same host.  A job that scales PERFECTLY across",
+            f"executors therefore measures at most {c8:.3f} (if ALU-bound)",
+            f"to {m8:.3f} (if DRAM-bound) N->4N efficiency here: the cores",
+            "themselves slow down when siblings wake (shared memory bus /",
+            "LLC / frequency management) — a cost a real 4-executor cluster",
+            "with separate sockets does not pay.  Dividing the measured",
+            "wide efficiency by this measured ceiling gives the",
+            "host-corrected efficiency:",
+            "",
+            "| persons | measured eff | corrected (ALU-bound) | corrected (DRAM-bound) |",
+            "|---|---|---|---|",
+        ]
+        for r in rows:
+            md.append(f"| {r['persons']:,} | {r['eff']} | "
+                      f"{min(r['eff'] / c8, 1.0):.3f} | "
+                      f"{min(r['eff'] / m8, 1.0):.3f} |")
+        md += [
+            "",
+            "The correction brackets by where the job sits on the",
+            "ALU<->DRAM spectrum (the round-3 kernel ablation put it at the",
+            "exchange/serde end)."
+            + ("  The contention-matched protocol below removes the need"
+               " for the correction entirely." if matched else ""),
+            "",
+        ]
+    if matched:
+        md += [
+            "## Contention-matched protocol: replicas vs a coordinated job (the headline number)",
+            "",
+            "`scripts/bench_matched.py` cancels the host artifact BY",
+            "CONSTRUCTION: the N side is FOUR independent copies of the",
+            "single-executor job (`local-cluster[1,2,M]`) running",
+            "concurrently, each taskset-pinned to its own disjoint 3-core",
+            "set; the 4N side is ONE four-executor job",
+            "(`local-cluster[4,2,M]`) pinned to the union of those cores.",
+            "Both sides: 12 busy cores of 32, identical per-executor",
+            "core count and heap, identical total heap.  The ONLY variable",
+            "is whether the four executors cooperate in one job or run as",
+            "zero-coordination replicas, so",
+            "",
+            "    efficiency = median(T_replica) / (4 * T_coordinated)",
+            "",
+            "is executor-count scaling measured against the ideal of",
+            "perfect replication — the north-rule quantity, with the",
+            "coordination costs a real cluster pays (remote shuffle,",
+            "broadcast duplication, stage barriers) fully included and the",
+            "one-box bus artifact fully excluded.",
+            "",
+            "| persons | pairs | replica wall s (median of all runs) | coordinated wall s | efficiency |",
+            "|---|---|---|---|---|",
+        ]
+        for m in matched:
+            md.append(
+                f"| {m['corpus_persons']:,} | {m['pairs']:,} | "
+                f"{m['replica_median_s']} ({m['replica_walls_all']}) | "
+                f"{m['coordinated']['seconds']} ({m['coordinated']['runs']}) | "
+                f"**{m['scaling_efficiency']}** |")
+        mh = matched[-1]
+        verdict = ("**target met**" if mh["scaling_efficiency"] >= 0.8
+                   else "below target")
+        md += [
+            "",
+            f"At {mh['corpus_persons']:,} persons the coordinated",
+            "4-executor job delivers",
+            f"**{mh['scaling_efficiency']}x of perfect-replication",
+            f"throughput** ({verdict}; target >= 0.8).",
+            "",
+        ]
+    if grids:
+        md += [
+            "## Executor-split grid: pricing executor-count overhead at fixed resources",
+            "",
+            "`scripts/probe_executor_grid.py` holds total cores (8) and",
+            "total executor heap fixed and varies ONLY the split into",
+            "executors — wall deltas across the row are pure executor-count",
+            "overhead (remote shuffle fraction 0% -> 87.5%, broadcast",
+            "deserialized per executor, per-executor Python worker pools):",
+            "",
+        ]
+        for g in grids:
+            md += [f"At {g['n_persons']:,} persons "
+                   f"(total heap {g['total_exec_mb']} MB):", ""]
+            md += ["| split (executors x cores) | wall s (median) | runs | pairs/s |",
+                   "|---|---|---|---|"]
+            for cfg, r in g["configs"].items():
+                md.append(f"| {cfg} | {r['seconds']} | {r['runs']} | "
+                          f"{r['pairs_per_sec']:,} |")
+            md.append("")
     if narrow:
         nh = narrow[-1]
         md += [
