@@ -101,7 +101,7 @@ def main() -> None:
         "# BENCH — scaling efficiency (N vs 4N executors, corpus-size curve)",
         "",
     ]
-    if matched:
+    if matched and matched[-1]["corpus_persons"] >= 1600000:
         mh = matched[-1]
         md += [
             f"**North-rule measurement — contention-matched protocol, "
