@@ -58,6 +58,8 @@ def main() -> None:
     ap.add_argument("--coord-runs", type=int, default=3)
     ap.add_argument("--exec-mb", type=int, default=12288)
     ap.add_argument("--driver-mb", type=int, default=8192)
+    ap.add_argument("--tag", default="", help="output-file suffix, e.g. "
+                    "_t2 for an independent reproducibility trial")
     args = ap.parse_args()
 
     bs.ensure_corpus(args.n_persons)
@@ -133,7 +135,8 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
     }
     out_path = os.path.join(
-        bs.REPO, "BENCH", f"scaling_matched_{args.n_persons}.json")
+        bs.REPO, "BENCH",
+        f"scaling_matched_{args.n_persons}{args.tag}.json")
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps({"persons": args.n_persons,
