@@ -162,9 +162,9 @@ def main() -> None:
 
     timed("ivf_topk", run_ivf)
 
-    # IVF at nbits=8 (256 buckets, ranked 6-plane probing): shows the
-    # recall/probe-fraction trade at a realistic bucket count — the
-    # 0.75 probe fraction of the nbits=4 gate query is an
+    # IVF at nbits=8 (256 buckets, ranked probing over ALL 8 planes):
+    # shows the recall/probe-fraction trade at a realistic bucket
+    # count — the 0.75 probe fraction of the nbits=4 gate query is an
     # isotropic-test-data artifact, not an engine ceiling.
     def ivf_nbits8():
         from recordlinker_spark.operators.simsearch import pick_nprobe
@@ -175,12 +175,50 @@ def main() -> None:
         )
         nprobe, recall = pick_nprobe(
             emb, queries, k=5, dim=64, nbits=8, recall_floor=0.9,
-            max_bucket_size=100000,
+            max_bucket_size=100000, rank_planes=8,
         )
         extras["ivf_recall_nbits8"] = round(recall, 4)
         extras["ivf_probe_frac_nbits8"] = round(nprobe / 256, 4)
 
     ivf_nbits8()
+
+    # IVF on CLUSTERED embeddings: the testdata embeddings are isotropic
+    # Gaussian (worst case for any LSH — every bucket is equally likely
+    # to hold a neighbor), which forces the high probe fractions above.
+    # Real-corpus embeddings are clustered; this extra measures the same
+    # operator on a deterministic 32-center Gaussian mixture (20k
+    # vectors, unit-norm centers, per-dim sigma=0.03 so same-cluster
+    # cosine ~0.95) to show the probe fraction the engine needs when
+    # the data has structure.
+    def ivf_clustered():
+        import numpy as np
+        import pandas as pd
+
+        from recordlinker_spark.operators.simsearch import pick_nprobe
+
+        rng = np.random.default_rng(1234)
+        centers = rng.normal(size=(32, 64))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        labels = rng.integers(0, 32, size=20000)
+        vecs = centers[labels] + 0.03 * rng.normal(size=(20000, 64))
+        pdf = pd.DataFrame(
+            {"vec_id": range(20000), "embedding": [v.tolist() for v in vecs]}
+        )
+        emb = spark.createDataFrame(pdf).selectExpr(
+            "cast(vec_id as long) vec_id",
+            "cast(embedding as array<float>) embedding",
+        )
+        queries = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        nprobe, recall = pick_nprobe(
+            emb, queries, k=5, dim=64, nbits=8, recall_floor=0.9,
+            max_bucket_size=100000, rank_planes=8,
+        )
+        extras["ivf_recall_clustered"] = round(recall, 4)
+        extras["ivf_probe_frac_clustered"] = round(nprobe / 256, 4)
+
+    ivf_clustered()
     timed("token_stats", lambda: demo.q_token_stats(spark, SF_DIR).count())
     timed("quality_scores", lambda: demo.q_quality_scores(spark, SF_DIR).count())
     timed("language_id", lambda: demo.q_language_id(spark, SF_DIR).count())

@@ -112,25 +112,50 @@ def signature_col(vec: Column, planes: list[list[float]]) -> Column:
 #: 2^J candidate perturbations are generated as static codegen structs
 PROBE_RANK_PLANES = 6
 
+#: hard cap on ranked planes: 2^8 = 256 static structs is the largest
+#: perturbation array worth materializing per query row (the probe
+#: expression applies only to the small query side, but codegen size
+#: grows as 2^J)
+MAX_RANK_PLANES = 8
 
-def probe_buckets_col(vec: Column, planes: list[list[float]], nprobe: int) -> Column:
+
+def probe_buckets_col(
+    vec: Column,
+    planes: list[list[float]],
+    nprobe: int,
+    rank_planes: int = PROBE_RANK_PLANES,
+) -> Column:
     """Score-ranked multi-probe bucket list (Lv et al., VLDB'07).
 
     The probability that a true neighbor's signature flipped plane
     ``i`` falls with the query's margin ``|dot_i|``; the best buckets
     to probe are therefore the perturbations with the smallest total
     flipped margin.  This ranks ALL XOR-combinations over the query's
-    ``J = min(nbits, 6)`` most-uncertain planes by that cost
+    ``J = min(nbits, rank_planes)`` most-uncertain planes by that cost
     (``cost(S) = sum_{i in S} |dot_i|``) and probes the ``nprobe``
-    cheapest — for ``nbits <= 6`` that is exhaustive-optimal probing of
+    cheapest — for ``nbits <= J`` that is exhaustive-optimal probing of
     the whole bucket space, strictly better than the fixed Hamming-1
     neighborhood it replaces (which capped recall ~0.53 on isotropic
-    data at nbits=4).  All codegen: array_sort over 2^J static structs,
-    no Python."""
+    data at nbits=4).  ``rank_planes`` bounds codegen size (2^J static
+    structs, capped at ``MAX_RANK_PLANES``); planes outside the ranked
+    set are never flipped, so at ``nbits > rank_planes`` attainable
+    recall is capped by the flip probability of the excluded
+    (most-certain) planes — raise ``rank_planes`` to ``nbits`` when the
+    bucket count is <= 2^8 and full-coverage probing matters.  All
+    codegen: array_sort over 2^J static structs, no Python.
+
+    Expression-size discipline: the per-combo cost/mask sums are
+    written as ``aggregate`` over *static literal* index arrays whose
+    lambdas reference the ``ranked`` struct array, so the dim x nbits
+    dot-product subtree appears in the analyzed plan a constant ~3
+    times.  A naive expansion (one cost/mask expression per combo, each
+    inlining ``ranked``) embeds it 2^J * J times — at J=8 / dim=64 that
+    is a multi-million-node tree that OOMs the driver during analysis
+    before a single task runs."""
+    if nprobe <= 1:
+        return F.array(signature_col(vec, planes))
     dots = plane_dots(vec, planes)
     home = signature_col(vec, planes)
-    if nprobe <= 1:
-        return F.array(home)
     # rank the planes by margin (ascending |dot|): position j in
     # ``ranked`` is the j-th most-likely-misflipped plane
     ranked = F.array_sort(
@@ -141,17 +166,32 @@ def probe_buckets_col(vec: Column, planes: list[list[float]], nprobe: int) -> Co
             ]
         )
     )
-    j_planes = min(len(planes), PROBE_RANK_PLANES)
-    combos = []
-    for s in range(1 << j_planes):
-        cost: Column = F.lit(0.0)
-        mask: Column = F.lit(0)
-        for j in range(j_planes):
-            if s >> j & 1:
-                cost = cost + ranked[j]["adot"]
-                mask = mask.bitwiseXOR(ranked[j]["mask"])
-        combos.append(F.struct(cost.alias("cost"), mask.alias("mask")))
-    best = F.slice(F.array_sort(F.array(*combos)), 1, min(nprobe, len(combos)))
+    j_planes = min(len(planes), max(1, min(rank_planes, MAX_RANK_PLANES)))
+    # static literal index sets: combo s flips ranked planes {j : s>>j&1}
+    combo_sets = F.array(
+        *[
+            F.array(
+                *[F.lit(j + 1) for j in range(j_planes) if s >> j & 1]
+            ).cast("array<int>")
+            for s in range(1 << j_planes)
+        ]
+    )
+    scored = F.transform(
+        combo_sets,
+        lambda idx: F.struct(
+            F.aggregate(
+                idx,
+                F.lit(0.0),
+                lambda acc, j: acc + F.element_at(ranked, j)["adot"],
+            ).alias("cost"),
+            F.aggregate(
+                idx,
+                F.lit(0),
+                lambda acc2, j2: acc2.bitwiseXOR(F.element_at(ranked, j2)["mask"]),
+            ).alias("mask"),
+        ),
+    )
+    best = F.slice(F.array_sort(scored), 1, min(nprobe, 1 << j_planes))
     return F.transform(best, lambda c: home.bitwiseXOR(c["mask"]))
 
 
@@ -166,6 +206,7 @@ def pick_nprobe(
     max_bucket_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rank_planes: int = PROBE_RANK_PLANES,
 ) -> tuple[int, float]:
     """Recall-targeted operating point: the smallest ``nprobe`` whose
     measured recall@k on ``sample_queries`` (vs exact brute force over
@@ -185,7 +226,7 @@ def pick_nprobe(
             corpus, sample_queries, k=k, id_col=id_col, vec_col=vec_col
         ).collect()
     }
-    max_probe = 1 << min(nbits, PROBE_RANK_PLANES)
+    max_probe = 1 << min(nbits, max(1, min(rank_planes, MAX_RANK_PLANES)))
     nprobe, recall = 1, 0.0
     while nprobe <= max_probe:
         got = {
@@ -201,6 +242,7 @@ def pick_nprobe(
                 max_bucket_size=max_bucket_size,
                 id_col=id_col,
                 vec_col=vec_col,
+                rank_planes=rank_planes,
             ).collect()
         }
         recall = len(got & truth) / max(len(truth), 1)
@@ -221,6 +263,7 @@ def ivf_topk(
     max_bucket_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rank_planes: int = PROBE_RANK_PLANES,
 ) -> DataFrame:
     """Bucketed ANN: sign-LSH into 2^nbits buckets, exact rescoring
     within the query's probed buckets.
@@ -248,7 +291,7 @@ def ivf_topk(
         "query_id",
         F.col(vec_col).alias("_qv"),
         F.explode(
-            probe_buckets_col(F.col(vec_col), planes, nprobe)
+            probe_buckets_col(F.col(vec_col), planes, nprobe, rank_planes)
         ).alias("_b"),
     )
     scored = (

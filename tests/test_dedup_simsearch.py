@@ -343,3 +343,50 @@ def test_embedding_neardup_bucket_cap_drops_hot_bucket(spark):
         df, threshold=0.5, dim=64, bands=4, bits_per_band=4
     )
     assert uncapped.count() == 50 * 49 // 2
+
+
+def test_rank_planes_full_coverage_at_nbits8(spark, emb_df):
+    """At nbits=8 the default 6-plane ranking can never flip the two
+    most-certain planes, capping attainable recall; rank_planes=8 ranks
+    the full space, so probing all 256 perturbations recovers brute
+    force exactly (regression for the r03 ivf_recall_nbits8=0.575
+    ceiling)."""
+    from recordlinker_spark.operators.simsearch import brute_force_topk, ivf_topk
+
+    queries = emb_df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb_df, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(
+            emb_df, queries, k=5, dim=8, nbits=8, nprobe=256, rank_planes=8
+        ).collect()
+    }
+    assert got == truth
+    # default ranking at nbits=8 cannot reach the full space: flipping
+    # only the 6 most-uncertain planes reaches at most 64 of the 256
+    # buckets, while rank_planes=8 at nprobe=256 probes every bucket
+    from recordlinker_spark.operators.simsearch import (
+        hyperplanes,
+        probe_buckets_col,
+    )
+
+    planes = hyperplanes(8, 8, 42)
+    probed = queries.select(
+        F.size(
+            F.array_distinct(
+                probe_buckets_col(F.col("embedding"), planes, 64, rank_planes=6)
+            )
+        ).alias("n6"),
+        F.size(
+            F.array_distinct(
+                probe_buckets_col(F.col("embedding"), planes, 256, rank_planes=8)
+            )
+        ).alias("n8"),
+    ).collect()
+    assert all(r["n6"] <= 64 for r in probed)
+    assert all(r["n8"] == 256 for r in probed)
