@@ -162,6 +162,47 @@ def minhash_signatures(
     )
 
 
+def pick_lsh_config(
+    threshold: float,
+    num_hashes: int = 64,
+    recall_bias: bool = True,
+) -> tuple[int, int]:
+    """(num_hashes, bands) whose banding S-curve midpoint sits at (or
+    just below) the target Jaccard ``threshold``.
+
+    With ``b`` bands of ``r = num_hashes/b`` rows, a pair of Jaccard
+    similarity ``s`` collides in >= 1 band with probability
+    ``1 - (1 - s^r)^b``; the curve's midpoint is ``(1/b)^(1/r)``
+    (Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets* ch. 3).
+    Scans the divisors of ``num_hashes``.  With ``recall_bias``
+    (default) it returns the band count whose midpoint is closest to
+    ``threshold`` FROM BELOW — a midpoint above the threshold means
+    pairs at the boundary mostly never collide, a loss the verify
+    stage (:func:`ngram_jaccard_pairs`, the standard pipeline) can
+    never recover; trading extra verify-stage candidates for recall is
+    the right default.  Without it, closest midpoint wins outright.
+
+    >>> pick_lsh_config(0.8)    # the shipped minhash_lsh_pairs default
+    (64, 8)
+    >>> pick_lsh_config(0.7)    # boundary pairs collide w.p. 0.988
+    (64, 16)
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    divisors = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    mids = {b: (1.0 / b) ** (b / num_hashes) for b in divisors}
+    if recall_bias:
+        below = [b for b in divisors if mids[b] <= threshold]
+        if below:
+            return num_hashes, max(below, key=lambda b: mids[b])
+        # even the most aggressive banding sits above the threshold
+        # (very low thresholds / few hashes): take the lowest midpoint
+        return num_hashes, min(divisors, key=lambda b: mids[b])
+    return num_hashes, min(divisors, key=lambda b: abs(mids[b] - threshold))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",

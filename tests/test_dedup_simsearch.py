@@ -390,3 +390,31 @@ def test_rank_planes_full_coverage_at_nbits8(spark, emb_df):
     ).collect()
     assert all(r["n6"] <= 64 for r in probed)
     assert all(r["n8"] == 256 for r in probed)
+
+
+def test_pick_lsh_config_scurve():
+    """Band choice honors the S-curve: midpoint at-or-below the target
+    threshold (recall bias), and a pair exactly AT the threshold
+    collides with high probability under the chosen config."""
+    from recordlinker_spark.operators.dedup import pick_lsh_config
+
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9, 0.95):
+        nh, bands = pick_lsh_config(t)
+        assert nh % bands == 0
+        rows = nh // bands
+        midpoint = (1.0 / bands) ** (1.0 / rows)
+        assert midpoint <= t + 1e-9
+        p_at_t = 1.0 - (1.0 - t**rows) ** bands
+        assert p_at_t >= 0.6, (t, bands, rows, p_at_t)
+
+    # shipped default reproduced
+    assert pick_lsh_config(0.8) == (64, 8)
+    # no-bias mode picks the closest midpoint even if above
+    assert pick_lsh_config(0.7, recall_bias=False) == (64, 8)
+    # degenerate thresholds rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pick_lsh_config(0.0)
+    with _pytest.raises(ValueError):
+        pick_lsh_config(1.5)
