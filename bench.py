@@ -137,8 +137,22 @@ def main() -> None:
         n_good = verified.filter(F.col("jaccard") >= 0.7).count()
         extras["lsh_recall"] = round(hits / max(n_docs, 1), 4)
         extras["lsh_precision"] = round(n_good / max(n_cand, 1), 4)
-        corpus.unpersist()
         cand.unpersist()
+        # the r03 default (16, 4) for comparison — the sweep evidence
+        # behind shipping (64, 8): 4-row bands admit quadratically more
+        # false candidates while missing more true dupes
+        cand2 = minhash_lsh_pairs(corpus, num_hashes=16, bands=4).cache()
+        hits2 = cand2.filter(
+            F.col("doc_id_r") - F.col("doc_id_l") == 1000000
+        ).count()
+        n_cand2 = cand2.count()
+        n_good2 = ngram_jaccard_pairs(corpus, cand2, threshold=0.0).filter(
+            F.col("jaccard") >= 0.7
+        ).count()
+        extras["lsh_recall_16_4"] = round(hits2 / max(n_docs, 1), 4)
+        extras["lsh_precision_16_4"] = round(n_good2 / max(n_cand2, 1), 4)
+        corpus.unpersist()
+        cand2.unpersist()
 
     lsh_quality()
     timed("exact_dedup", lambda: demo.q_exact_dedup(spark, SF_DIR).count())
@@ -219,6 +233,50 @@ def main() -> None:
         extras["ivf_probe_frac_clustered"] = round(nprobe / 256, 4)
 
     ivf_clustered()
+
+    # BASELINE.json headline made explicit: pairwise F1 vs the
+    # reference's OWN decisions.  Replays the reference's 6-patient
+    # linking scenario (reference tests/unit/linking/test_link.py:
+    # 298-337) in sequential-replay mode; the reference's decision is
+    # clusters {r0,r1,r3},{r2},{r4},{r5}, i.e. positive pairs
+    # (0,1),(0,3),(1,3).  tests/test_link_parity.py pins the full
+    # match vectors / passes / median scores; this emits the resulting
+    # pairwise F1 as a measured number.
+    def parity_f1():
+        import itertools
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from fixtures_patients import SIX_PATIENTS
+
+        from recordlinker_spark.config import dibbs_default
+        from recordlinker_spark.plans.replay import replay_link
+        from recordlinker_spark.schemas import DOCUMENTS_SCHEMA
+        from recordlinker_spark.sources.ingest import parse_documents
+        from recordlinker_spark.sources.spandoc import docs_to_rows
+
+        docs = [
+            (f"r{i}", p, [(2, f"media://img/{i}")])
+            for i, p in enumerate(SIX_PATIENTS)
+        ]
+        records = parse_documents(
+            spark.createDataFrame(docs_to_rows(docs), DOCUMENTS_SCHEMA)
+        )
+        steps, _ = replay_link(
+            spark, records, dibbs_default(), order=[f"r{i}" for i in range(6)]
+        )
+        pid = [s.person_id for s in steps]
+        ref_pairs = {(0, 1), (0, 3), (1, 3)}
+        got = {
+            (i, j)
+            for i, j in itertools.combinations(range(6), 2)
+            if pid[i] is not None and pid[i] == pid[j]
+        }
+        tp = len(got & ref_pairs)
+        fp = len(got - ref_pairs)
+        fn = len(ref_pairs - got)
+        extras["parity_pair_f1"] = round(2 * tp / max(2 * tp + fp + fn, 1), 4)
+
+    parity_f1()
     timed("token_stats", lambda: demo.q_token_stats(spark, SF_DIR).count())
     timed("quality_scores", lambda: demo.q_quality_scores(spark, SF_DIR).count())
     timed("language_id", lambda: demo.q_language_id(spark, SF_DIR).count())
