@@ -530,6 +530,15 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap sessionization (batch twin of the
+    applyInPandasWithState streaming operator, operators/sessions.py)."""
+    from recordlinker_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30.0)
+
+
 QUERIES = {
     "normalize_names": q_normalize_names,
     "blocking_values": q_blocking_values,
@@ -545,6 +554,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "embedding_topk": q_embedding_topk,
     "events_window": q_events_window,
+    "user_sessions": q_user_sessions,
     "minhash_sigs": q_minhash_sigs,
     "cc_clusters": q_cc_clusters,
     "tuning_class_probs": q_tuning_class_probs,
@@ -782,6 +792,33 @@ def oracle_queries() -> dict[str, str]:
                count(*) as n_events,
                round(sum(value), 6) as sum_value
         from events
+        group by 1, 2
+    """
+
+    out["user_sessions"] = """
+        with ordered as (
+            select user_id, ts, value, event_id,
+                   case when lag(ts) over w is null
+                         or epoch_us(ts) - epoch_us(lag(ts) over w)
+                            > 1800000000
+                        then 1 else 0 end as new_s
+            from events
+            where ts is not null
+            window w as (partition by user_id order by ts, event_id)
+        ), sess as (
+            select user_id, ts, value,
+                   sum(new_s) over (
+                       partition by user_id order by ts, event_id
+                       rows unbounded preceding
+                   ) as session_seq
+            from ordered
+        )
+        select user_id, session_seq,
+               cast(floor(epoch(min(ts))) as bigint) as session_start,
+               cast(floor(epoch(max(ts))) as bigint) as session_end,
+               count(*) as n_events,
+               round(sum(value), 6) as sum_value
+        from sess
         group by 1, 2
     """
 

@@ -1,0 +1,115 @@
+"""Sessionization: batch window twin vs applyInPandasWithState stream.
+
+The streaming operator must emit exactly the batch twin's sessions for
+every session that CLOSES during the stream (a later event beyond the
+gap arrives); each user's final session stays open in the state store
+and is not emitted — the test derives that expected closed set from
+the batch answer by dropping each user's last session.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from test_streaming_windows import _write_time_ordered_files
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not available"
+)
+
+
+def test_batch_sessionize_gap_semantics(spark):
+    """Hand-built corpus: gaps strictly over 30 min split, <= merge."""
+    import datetime as dt
+
+    from recordlinker_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: three events 29 min apart -> ONE session
+        (0, t0, 1, "a", 1.0, None),
+        (1, t0 + dt.timedelta(minutes=29), 1, "a", 2.0, None),
+        (2, t0 + dt.timedelta(minutes=58), 1, "a", 3.0, None),
+        # user 1: 31-min gap -> second session
+        (3, t0 + dt.timedelta(minutes=89, seconds=1), 1, "a", 4.0, None),
+        # user 2: exactly 30 min gap -> still one session (<= gap)
+        (4, t0, 2, "a", 5.0, None),
+        (5, t0 + dt.timedelta(minutes=30), 2, "a", 6.0, None),
+        # user 3: null ts dropped
+        (6, None, 3, "a", 7.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["sum_value"])
+        for r in sessionize(ev, gap_minutes=30.0).collect()
+    }
+    assert got == {
+        (1, 1): (3, 6.0),
+        (1, 2): (1, 4.0),
+        (2, 1): (2, 11.0),
+    }
+
+
+def test_stream_sessions_match_batch_closed_set(spark, tmp_path):
+    from recordlinker_spark.operators.sessions import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev, _max_ts = _write_time_ordered_files(spark, events_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30.0)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    streamed = spark.read.parquet(out_dir)
+    batch = sessionize(ev, gap_minutes=30.0)
+    # expected = batch sessions minus each user's LAST (still open)
+    w = Window.partitionBy("user_id")
+    closed = batch.withColumn(
+        "_max", F.max("session_seq").over(w)
+    ).filter(F.col("session_seq") < F.col("_max")).drop("_max")
+
+    n_closed = closed.count()
+    assert n_closed > 0
+    assert streamed.count() == n_closed
+    j = (
+        streamed.withColumnRenamed("n_events", "n_s")
+        .withColumnRenamed("sum_value", "v_s")
+        .withColumnRenamed("session_start", "ss_s")
+        .withColumnRenamed("session_end", "se_s")
+        .join(closed, ["user_id", "session_seq"])
+    )
+    assert j.count() == n_closed
+    bad = j.filter(
+        (F.col("n_s") != F.col("n_events"))
+        | (F.col("ss_s") != F.col("session_start"))
+        | (F.col("se_s") != F.col("session_end"))
+        | (F.abs(F.col("v_s") - F.col("sum_value")) > 1e-5)
+    )
+    assert bad.count() == 0
