@@ -104,6 +104,25 @@ def main() -> None:
     ).count())  # shipped default (64, 8) — the measured pareto config
     timed("ngram_jaccard", lambda: demo.q_ngram_jaccard(spark, SF_DIR).count())
 
+    # end-to-end canonicalization (LSH -> verify -> CC -> keep-best)
+    # at the shipped (64, 8) config over docs + engineered near-dups
+    def run_keep_best():
+        from recordlinker_spark.operators.dedup import neardup_keep_best
+
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        )
+        dupes = docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        corpus = docs.unionByName(dupes).repartition(CPUS)
+        kept = neardup_keep_best(corpus).filter(F.col("keep") == 1).count()
+        extras["neardup_kept"] = float(kept)
+        return kept
+
+    timed("neardup_keep_best", run_keep_best)
+
     # LSH quality (not a timed query): recall of banded MinHash against
     # known near-dup pairs + precision of its candidates under the
     # exact-Jaccard >= 0.7 verify stage — the standard LSH-then-verify
@@ -281,6 +300,7 @@ def main() -> None:
     timed("quality_scores", lambda: demo.q_quality_scores(spark, SF_DIR).count())
     timed("language_id", lambda: demo.q_language_id(spark, SF_DIR).count())
     timed("events_window", lambda: demo.q_events_window(spark, SF_DIR).count())
+    timed("user_sessions", lambda: demo.q_user_sessions(spark, SF_DIR).count())
 
     pairs_per_sec = n_pairs / timings["link_pipeline"] if timings["link_pipeline"] else 0.0
     print(

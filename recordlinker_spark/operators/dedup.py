@@ -481,3 +481,73 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos") >= F.lit(threshold))
     )
+
+
+def neardup_keep_best(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+    k: int = 5,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate canonicalization: the end-to-end "dedup and keep
+    the best copy" pipeline a training corpus needs, composed from the
+    primitives above —
+
+        MinHash-LSH candidates -> exact k-shingle-Jaccard verify
+        (>= ``jaccard_threshold``) -> connected components over the
+        verified near-dup graph -> keep ONE doc per component.
+
+    Returns one row per input doc: ``(doc_id, component, n_members,
+    keep)`` where ``component`` is the numeric-min doc_id of the
+    near-dup group (singletons are their own component), ``n_members``
+    the group size, and ``keep`` 1 for the elected canonical doc —
+    the longest normalized text, ties to the smallest doc_id — else 0.
+    Downstream keeps ``filter(keep = 1)`` and drops the rest.
+
+    Scale shape: candidates are banded + bucket-capped (never
+    all-pairs), the verify join is narrow exploded-shingle rows, and
+    the component step is the same large-star/small-star iteration the
+    linkage path uses (operators/cluster.py) — near-dup components are
+    tiny (a handful of copies), so it converges in 1-2 alternations.
+    The final election is one window over components, which partitions
+    cluster-wide by component id.
+    """
+    from recordlinker_spark.operators.cluster import connected_components
+
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(
+            F.length(F.trim(F.col(text_col))), F.lit(0)
+        ).alias("_len"),
+    )
+    cand = minhash_lsh_pairs(
+        docs, text_col, num_hashes, bands, seed, max_bucket_size
+    )
+    verified = ngram_jaccard_pairs(docs, cand, text_col, k, jaccard_threshold)
+    # connected_components labels with the LEXICOGRAPHIC min id; zero-pad
+    # so that equals the numeric min (doc ids are non-negative longs)
+    pad = 20
+    edges = verified.select(
+        F.lpad(F.col("doc_id_l").cast("string"), pad, "0").alias("src"),
+        F.lpad(F.col("doc_id_r").cast("string"), pad, "0").alias("dst"),
+    )
+    labels = connected_components(edges).select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("_comp"),
+    )
+    labeled = base.join(labels, "doc_id", "left").withColumn(
+        "component", F.coalesce(F.col("_comp"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("component")
+    wr = w.orderBy(F.col("_len").desc(), F.col("doc_id").asc())
+    return (
+        labeled.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "keep", (F.row_number().over(wr) == 1).cast("int")
+        )
+        .select("doc_id", "component", "n_members", "keep")
+    )

@@ -34,6 +34,7 @@ from recordlinker_spark.operators.decide import cluster_scores, decide, fold_pas
 from recordlinker_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
+    neardup_keep_best,
     ngram_jaccard_pairs,
     simhash_buckets,
 )
@@ -475,6 +476,21 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization — LSH candidates -> exact-Jaccard
+    verify -> connected components -> elect one doc per group
+    (operators/dedup.py:neardup_keep_best).  The oracle replays the
+    whole pipeline in DuckDB, including the component step as a
+    recursive transitive-closure CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    dupes = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return neardup_keep_best(
+        docs.unionByName(dupes), num_hashes=16, bands=4, seed=7
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash LSH rows; the oracle replays the per-bit majority
     vote with 60 generated bit-slice sums in DuckDB."""
@@ -559,6 +575,7 @@ QUERIES = {
     "cc_clusters": q_cc_clusters,
     "tuning_class_probs": q_tuning_class_probs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "neardup_keep_best": q_neardup_keep_best,
     "simhash": q_simhash,
     "ivf_topk": q_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -911,6 +928,84 @@ def oracle_queries() -> dict[str, str]:
         select distinct l.doc_id as doc_id_l, r.doc_id as doc_id_r
         from fb l join fb r
           on l.band = r.band and l.bucket = r.bucket and l.doc_id < r.doc_id
+    """
+
+    # --- neardup_keep_best: the full canonicalization pipeline —
+    # same signature/banding replay, then exact-Jaccard verify,
+    # recursive-CTE transitive closure for components, and the
+    # keep-best window election
+    out["neardup_keep_best"] = f"""
+        with recursive corpus as (
+          select cast(doc_id as bigint) as doc_id, text from documents
+          union all
+          select cast(doc_id as bigint) + 1000000, text from documents
+        ),
+        norm as (
+          select doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as t,
+                 coalesce(length(trim(text)), 0) as _len
+          from corpus
+        ),
+        shl as (
+          select doc_id, list_distinct([substr(t, i, 5)
+            for i in range(1, greatest(length(t) - 4, 1) + 1)]) as s
+          from norm
+        ),
+        sh as (select doc_id, unnest(s) as s from shl),
+        hashed as (
+          select doc_id,
+                 cast(concat('0x', substr(md5(s), 1, 7)) as bigint) as h
+          from sh
+        ),
+        sigs as (select doc_id, {sig16} from hashed group by doc_id),
+        banded as (
+          {band_rows}
+        ),
+        ok as (
+          select band, bucket from banded
+          group by band, bucket having count(*) <= 1000
+        ),
+        fb as (select b.* from banded b join ok using (band, bucket)),
+        cand as (
+          select distinct l.doc_id as doc_id_l, r.doc_id as doc_id_r
+          from fb l join fb r
+            on l.band = r.band and l.bucket = r.bucket
+               and l.doc_id < r.doc_id
+        ),
+        ver as (
+          select c.doc_id_l, c.doc_id_r
+          from cand c
+          join shl a on a.doc_id = c.doc_id_l
+          join shl b on b.doc_id = c.doc_id_r
+          where len(list_intersect(a.s, b.s))::double /
+                len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        ),
+        sym as (
+          select doc_id_l as src, doc_id_r as dst from ver
+          union
+          select doc_id_r, doc_id_l from ver
+        ),
+        reach as (
+          select src as a, dst as b from sym
+          union
+          select r.a, s.dst from reach r join sym s on r.b = s.src
+        ),
+        lab as (
+          select a as doc_id, least(a, min(b)) as component
+          from reach group by a
+        ),
+        labeled as (
+          select n.doc_id, coalesce(l.component, n.doc_id) as component,
+                 n._len
+          from norm n left join lab l using (doc_id)
+        )
+        select doc_id, component,
+               count(*) over (partition by component) as n_members,
+               cast(row_number() over (
+                 partition by component
+                 order by _len desc, doc_id asc
+               ) = 1 as int) as keep
+        from labeled
     """
 
     # --- simhash: replay the 60 per-bit majority votes

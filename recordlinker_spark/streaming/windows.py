@@ -83,7 +83,7 @@ def run_stream_to_parquet(
     window_duration: str = "5 minutes",
     watermark_delay: str = "10 minutes",
     max_files_per_trigger: int = 1,
-    timeout_sec: float = 120.0,
+    timeout_sec: float = 300.0,
 ) -> None:
     """Drive the windowed aggregation as a real file-source stream:
     ``readStream.parquet(events_dir)`` -> watermark -> window agg ->

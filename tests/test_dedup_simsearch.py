@@ -418,3 +418,35 @@ def test_pick_lsh_config_scurve():
         pick_lsh_config(0.0)
     with _pytest.raises(ValueError):
         pick_lsh_config(1.5)
+
+
+def test_neardup_keep_best_elects_one_per_component(docs_df):
+    """LSH -> verify -> CC -> keep-best: exact dups {1,2,6} form one
+    component (3 may join via the near-dup edge), the canonical doc is
+    the longest trimmed text (doc 6: inner whitespace makes it longest),
+    and unrelated/empty docs are singletons that keep themselves."""
+    from recordlinker_spark.operators.dedup import neardup_keep_best
+
+    rows = {
+        r["doc_id"]: r
+        for r in neardup_keep_best(
+            docs_df, num_hashes=16, bands=8, seed=42
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    # the exact-dup trio shares the min-id component
+    assert rows[1]["component"] == rows[2]["component"] == rows[6]["component"] == 1
+    assert rows[1]["n_members"] >= 3
+    # election: doc 6 has the longest trimmed text in the component
+    winners = {d for d, r in rows.items() if r["keep"] == 1 and r["component"] == 1}
+    assert winners == {6}
+    # singletons keep themselves
+    for d in (4, 5):
+        if rows[d]["n_members"] == 1:
+            assert rows[d]["component"] == d and rows[d]["keep"] == 1
+    # exactly one keeper per component
+    by_comp: dict = {}
+    for r in rows.values():
+        by_comp.setdefault(r["component"], 0)
+        by_comp[r["component"]] += r["keep"]
+    assert all(v == 1 for v in by_comp.values())
