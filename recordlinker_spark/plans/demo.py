@@ -491,6 +491,47 @@ def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media plumbing end-to-end as a driver-contract query: span
+    docs with one media span each -> extract_media_refs (suffix type
+    inference) -> fetch_payloads(fake=True: deterministic sha256
+    stream) -> decode_features over mapInPandas.  The oracle replays
+    the deterministic metadata (DuckDB sha256 == hashlib): width/height
+    are the first two payload bytes + 1 on the pseudo-decode path
+    (operators/media.py:decode_features).  Feature vectors are float32
+    and excluded from the hash compare by projection."""
+    from recordlinker_spark.operators.media import (
+        decode_features,
+        extract_media_refs,
+        fetch_payloads,
+    )
+
+    suffix = F.element_at(
+        F.array(F.lit(".jpg"), F.lit(".wav"), F.lit(".mp4")),
+        (F.col("doc_id").cast("long") % 3 + 1).cast("int"),
+    )
+    sp = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit("").alias("text"),
+                    F.concat(
+                        F.lit("media://img/"), F.col("doc_id"), suffix
+                    ).alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).alias("spans"),
+        )
+    )
+    feats = decode_features(fetch_payloads(extract_media_refs(sp)))
+    return feats.select(
+        "doc_id", "media_idx", "media_type", "width", "height"
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash LSH rows; the oracle replays the per-bit majority
     vote with 60 generated bit-slice sums in DuckDB."""
@@ -576,6 +617,7 @@ QUERIES = {
     "tuning_class_probs": q_tuning_class_probs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "neardup_keep_best": q_neardup_keep_best,
+    "media_features": q_media_features,
     "simhash": q_simhash,
     "ivf_topk": q_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -1006,6 +1048,33 @@ def oracle_queries() -> dict[str, str]:
                  order by _len desc, doc_id asc
                ) = 1 as int) as keep
         from labeled
+    """
+
+    # --- media_features: the fake-fetch payload is sha256(ref) bytes
+    # repeated (operators/media.py:fetch_payloads), and the pseudo-
+    # decode metadata is byte0+1 / byte1+1 — both exactly replayable
+    # because DuckDB's sha256() matches hashlib
+    out["media_features"] = """
+        with refs as (
+          select cast(doc_id as varchar) as doc_id,
+                 0 as media_idx,
+                 case cast(doc_id as bigint) % 3
+                   when 0 then 'image' when 1 then 'audio'
+                   else 'video' end as media_type,
+                 concat('media://img/', cast(doc_id as varchar),
+                   case cast(doc_id as bigint) % 3
+                     when 0 then '.jpg' when 1 then '.wav'
+                     else '.mp4' end) as ref
+          from documents
+        ),
+        h as (
+          select doc_id, media_idx, media_type, sha256(ref) as hex
+          from refs
+        )
+        select doc_id, media_idx, media_type,
+               cast(concat('0x', substr(hex, 1, 2)) as int) + 1 as width,
+               cast(concat('0x', substr(hex, 3, 2)) as int) + 1 as height
+        from h
     """
 
     # --- simhash: replay the 60 per-bit majority votes
