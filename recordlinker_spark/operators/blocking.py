@@ -258,8 +258,16 @@ def blocked_persons(
     if mpi_count is None:
         mpi_count = mpi_bk.count()
     hot_rows = []
-    if mpi_count > salt_threshold:
-        frac = min(1.0, max(census_fraction, 200.0 / salt_threshold))
+    # the census must fire whenever EITHER bound can bite: capping at
+    # max_block_size applies on this path too (a batch that bails off
+    # the broadcast fast path must see identical capped candidates)
+    census_trigger = salt_threshold
+    collect_above = salt_threshold // 2
+    if max_block_size is not None:
+        census_trigger = min(census_trigger, max_block_size)
+        collect_above = min(collect_above, max_block_size)
+    if mpi_count > census_trigger:
+        frac = min(1.0, max(census_fraction, 200.0 / census_trigger))
         census = (
             build.sample(fraction=frac, seed=42)
             .groupBy("_sub", "_block")
@@ -267,7 +275,7 @@ def blocked_persons(
             .withColumn("count", (F.col("count") / F.lit(frac)).cast("long"))
         )
         hot_rows = (
-            census.filter(F.col("count") > salt_threshold // 2)
+            census.filter(F.col("count") > collect_above)
             .orderBy(F.desc("count"))
             .limit(4096)
             .collect()

@@ -178,19 +178,22 @@ def link_batch(
         # fixed, non-scaling driver latency x |passes|
         from recordlinker_spark.operators.blocking import missingness_filter
 
-        sub_frame = None
-        for i, p in enumerate(algorithm.passes):
-            mf = missingness_filter(inc_bk, algorithm, p).select(
-                F.lit(i).alias("_p"), "_subset"
-            ).distinct()
-            sub_frame = mf if sub_frame is None else sub_frame.unionByName(mf)
-        subsets_by_pass: dict[int, list] = {i: [] for i in range(len(algorithm.passes))}
-        for r in sub_frame.collect():
-            if r["_subset"]:
-                subsets_by_pass[r["_p"]].append(tuple(r["_subset"].split(",")))
-        for i in subsets_by_pass:
-            subsets_by_pass[i].sort()
-        block_kwargs.setdefault("subsets_by_pass", subsets_by_pass)
+        if "subsets_by_pass" not in block_kwargs:
+            sub_frame = None
+            for i, p in enumerate(algorithm.passes):
+                mf = missingness_filter(inc_bk, algorithm, p).select(
+                    F.lit(i).alias("_p"), "_subset"
+                ).distinct()
+                sub_frame = mf if sub_frame is None else sub_frame.unionByName(mf)
+            subsets_by_pass: dict[int, list] = {
+                i: [] for i in range(len(algorithm.passes))
+            }
+            for r in sub_frame.collect():
+                if r["_subset"]:
+                    subsets_by_pass[r["_p"]].append(tuple(r["_subset"].split(",")))
+            for i in subsets_by_pass:
+                subsets_by_pass[i].sort()
+            block_kwargs["subsets_by_pass"] = subsets_by_pass
 
     subsets_by_pass = block_kwargs.pop("subsets_by_pass", None)
     pass_index = {id(p): i for i, p in enumerate(algorithm.passes)}

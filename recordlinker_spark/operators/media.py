@@ -181,7 +181,8 @@ def _decode_pnm(buf: bytes, dim: int) -> dict:
     pos += 1  # single whitespace after maxval
     width, height, maxval = (int(t) for t in tokens)
     nch = 3 if buf[:2] == b"P6" else 1
-    dtype = np.uint16 if maxval > 255 else np.uint8
+    # PNM stores multi-byte samples most-significant-byte first
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
     px = np.frombuffer(buf, dtype, width * height * nch, pos).astype(np.float32)
     gray = px.reshape(height, width, nch).mean(axis=2)
     return {
@@ -253,7 +254,15 @@ def decode_features(
             }
             for payload in pdf["payload"]:
                 payload = bytes(payload)
-                decoded = _decode_payload(payload, dim)
+                try:
+                    decoded = _decode_payload(payload, dim)
+                except Exception:
+                    # fabricated payloads can collide with a decoder's
+                    # magic bytes (~3/2^16 per doc) yet never parse;
+                    # only a real payload should surface its error
+                    if not fake:
+                        raise
+                    decoded = None
                 if decoded is None:
                     if not fake:
                         raise NotImplementedError(

@@ -113,11 +113,29 @@ def sessionize(
     )
 
 
+def _ts_to_micros(s: pd.Series, tz: str) -> "pd.api.extensions.ExtensionArray":
+    """Timestamp series -> epoch microseconds.  applyInPandasWithState
+    hands the kernel NAIVE datetimes in the SESSION timezone, so the
+    wall time must be localized to ``tz`` before taking the epoch (a
+    naive-as-UTC read shifts every epoch by the UTC offset whenever
+    ``spark.sql.session.timeZone`` is not UTC).  Resolution-agnostic:
+    works for ns- and us-backed datetime64 alike."""
+    idx = pd.DatetimeIndex(pd.to_datetime(s))
+    if idx.tz is None:
+        idx = idx.tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
+    idx = idx.tz_convert("UTC")
+    try:
+        return idx.as_unit("us").asi8
+    except AttributeError:  # pandas < 2: always ns-backed
+        return idx.asi8 // 1000
+
+
 def _sessionize_group(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],
     state: Any,
     gap_us: int,
+    tz: str = "UTC",
 ) -> Iterator[pd.DataFrame]:
     """Stateful kernel: merge the user's open session with this batch's
     rows, emit every session that closed, keep the last one open."""
@@ -128,7 +146,7 @@ def _sessionize_group(
         next_seq = seq0
         rows.extend(zip(ts_us, vals))
     for pdf in pdfs:
-        ts = pd.to_datetime(pdf["ts"]).astype("int64") // 1000  # ns -> us
+        ts = _ts_to_micros(pdf["ts"], tz)
         rows.extend(zip(ts.tolist(), pdf["value"].astype(float).tolist()))
     cols = [f.name for f in SESSION_SCHEMA.fields]
     if not rows:
@@ -179,9 +197,10 @@ def sessionize_stream(
 
     gap_us = int(gap_minutes * 60 * 1_000_000)
     ev = events.filter(F.col("ts").isNotNull())
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
 
     def fn(key, pdfs, state):
-        yield from _sessionize_group(key, pdfs, state, gap_us)
+        yield from _sessionize_group(key, pdfs, state, gap_us, tz)
 
     return ev.groupBy("user_id").applyInPandasWithState(
         fn,

@@ -165,7 +165,8 @@ for i in range(n_runs):
           file=sys.stderr, flush=True)
 j1, s1 = counters()
 walls.sort()
-dt = walls[len(walls) // 2]
+import statistics
+dt = round(statistics.median(walls), 3)  # true median (even-run levels too)
 print(json.dumps({{"cpus": cpus, "master": master, "seconds": dt,
                    "runs": walls, "pairs": n_pairs, "decisions": n_dec,
                    "incoming": n_inc, "mpi": n_mpi,

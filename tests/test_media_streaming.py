@@ -116,6 +116,46 @@ def test_real_decoders(spark, tmp_path):
     assert all(abs(f - 12000 / 32768 * 0.707) < 0.05 for f in wav["feature"])
 
 
+def test_fake_decode_survives_magic_collision(spark):
+    """A fabricated payload whose first bytes collide with a real
+    decoder's magic (b'BM', b'P5'...) must fall back to the
+    pseudo-decode under fake=True instead of crashing the task."""
+    import pytest
+
+    rows = [
+        ("d1", 0, "image", bytearray(b"BM" + bytes(range(64)))),
+        ("d2", 0, "image", bytearray(b"P5 garbage not a header")),
+        ("d3", 0, "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVEjunk")),
+    ]
+    payloads = spark.createDataFrame(
+        rows, "doc_id string, media_idx int, media_type string, payload binary"
+    )
+    out = {r["doc_id"]: r for r in decode_features(payloads, dim=4).collect()}
+    assert len(out) == 3
+    # pseudo-decode contract: width/height = first two payload bytes + 1
+    assert out["d1"]["width"] == ord("B") + 1
+    assert out["d1"]["height"] == ord("M") + 1
+    # fake=False must still surface the corruption
+    with pytest.raises(Exception):
+        decode_features(payloads, dim=4, fake=False).collect()
+
+
+def test_pnm_16bit_samples_are_big_endian(spark):
+    """PNM stores maxval>255 samples MSB-first; a constant-value 16-bit
+    PGM must decode to that constant, not its byte-swapped garbage."""
+    w, h, val, maxval = 6, 4, 0x1234, 65535
+    body = val.to_bytes(2, "big") * (w * h)
+    buf = b"P5\n%d %d\n%d\n" % (w, h, maxval) + body
+    payloads = spark.createDataFrame(
+        [("d1", 0, "image", bytearray(buf))],
+        "doc_id string, media_idx int, media_type string, payload binary",
+    )
+    (r,) = decode_features(payloads, dim=4, fake=False).collect()
+    assert (r["width"], r["height"]) == (w, h)
+    expect = val / maxval
+    assert all(abs(f - expect) < 1e-4 for f in r["feature"])
+
+
 def test_streaming_incremental_link(spark, tmp_path):
     """The stream (1 file per micro-batch) reproduces the sequential
     linking outcome of the 6-patient scenario: [no,match,no,match,no,no],

@@ -109,6 +109,58 @@ def test_broadcast_gate_bails_on_exploded_probe(spark):
     )
 
 
+def test_bail_path_honors_max_block_size(spark):
+    """The salted path a bailed batch lands on must cap oversized
+    blocks exactly like the fast path would have — even when the MPI is
+    smaller than salt_threshold, where the old census never fired."""
+    from recordlinker_spark.config import dibbs_default
+    from recordlinker_spark.operators.blocking import blocked_persons
+    from recordlinker_spark.operators.linkjob import prepare_incoming, prepare_mpi
+    from recordlinker_spark.schemas import DOCUMENTS_SCHEMA
+    from recordlinker_spark.sources.ingest import parse_documents
+    from recordlinker_spark.sources.spandoc import docs_to_rows
+
+    alg = dibbs_default()
+
+    def patient(family, given, zip5, bd):
+        return {
+            "birth_date": bd,
+            "sex": "male",
+            "name": [{"family": family,
+                      "given": [given, "Bbbb", "Cccc", "Dddd"],
+                      "use": "official"}],
+            "address": [{"line": ["1 Main"], "postal_code": zip5}],
+        }
+
+    # one 20-member block (identical pass-2 keys) + one 3-member block
+    patients = [patient("Smith", "Aaaa", "02101", "1980-01-01")] * 20
+    patients += [patient("Jones", "Eeee", "03105", "1990-05-05")] * 3
+    docs = spark.createDataFrame(
+        docs_to_rows([(f"r{i}", p, []) for i, p in enumerate(patients)]),
+        DOCUMENTS_SCHEMA,
+    )
+    recs = parse_documents(docs)
+    _, inc_bk = prepare_incoming(recs, alg)
+    mpi = recs.withColumn("person_id", F.col("record_id"))
+    _, mpi_bk = prepare_mpi(mpi, alg)
+
+    p = alg.passes[1]  # ZIP/FIRST_NAME/LAST_NAME/SEX
+    kw = dict(max_block_size=10)
+    fast = blocked_persons(
+        inc_bk, mpi_bk, alg, p, broadcast_probe_rows=250_000, **kw
+    )
+    # raw gate passes (23 <= 23) but the exploded probe (4 values per
+    # record) breaches 2x the bound -> bails to the salted path
+    bailed = blocked_persons(
+        inc_bk, mpi_bk, alg, p, broadcast_probe_rows=23, **kw
+    )
+    fast_rows = sorted(map(tuple, fast.collect()))
+    assert fast_rows == sorted(map(tuple, bailed.collect()))
+    # the 20-member block is over the cap on BOTH paths
+    big_block = {f"r{i}" for i in range(20)}
+    assert fast_rows and not {pid for _, pid in fast_rows} & big_block
+
+
 def test_overwrite_partitions_parquet_contract(spark, tmp_path):
     """Parquet fallback honors 'replace only the partitions present':
     requires explicit partition columns, refuses without them."""

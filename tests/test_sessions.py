@@ -113,3 +113,29 @@ def test_stream_sessions_match_batch_closed_set(spark, tmp_path):
         | (F.abs(F.col("v_s") - F.col("sum_value")) > 1e-5)
     )
     assert bad.count() == 0
+
+
+def test_kernel_epochs_are_session_timezone_correct():
+    """applyInPandasWithState hands the kernel NAIVE session-local
+    datetimes; the kernel must localize to the session timezone before
+    taking epochs, or every emitted session_start/end is shifted by the
+    UTC offset whenever the session tz is not UTC."""
+    import pandas as pd
+
+    from recordlinker_spark.operators.sessions import _ts_to_micros
+
+    # 2024-01-01T12:00:00Z rendered as New-York wall time is 07:00 naive
+    s = pd.Series(pd.to_datetime(["2024-01-01 07:00:00"]))
+    assert s.dt.tz is None
+    (micros,) = _ts_to_micros(s, "America/New_York").tolist()
+    assert micros == 1_704_110_400_000_000
+    # UTC session: naive wall time IS the epoch time
+    (micros_utc,) = _ts_to_micros(s, "UTC").tolist()
+    assert micros_utc == 1_704_092_400_000_000
+    # resolution-agnostic: a us-backed series gives the same answer
+    try:
+        s_us = s.astype("datetime64[us]")
+    except TypeError:  # pandas < 2 has no sub-ns resolutions
+        return
+    (micros_us,) = _ts_to_micros(s_us, "America/New_York").tolist()
+    assert micros_us == 1_704_110_400_000_000
