@@ -253,6 +253,117 @@ def main() -> None:
 
     ivf_clustered()
 
+    # SimHash banding quality (not timed): recall of the band-bucket
+    # blocking against engineered light-edit near-dups (one appended
+    # token — the Hamming-small regime SimHash targets) + precision of
+    # the pigeonhole guarantee (candidates truly within Hamming <= 3).
+    def simhash_quality():
+        from recordlinker_spark.operators.dedup import (
+            simhash_buckets,
+            simhash_table,
+        )
+
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .filter(F.col("text").isNotNull())
+        )
+        dupes = docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
+        )
+        corpus = docs.unionByName(dupes).repartition(CPUS).cache()
+        n_docs = docs.count()
+        bk = simhash_buckets(corpus).cache()
+        cand = (
+            bk.select(
+                F.col("doc_id").alias("doc_id_l"),
+                F.col("simhash").alias("sim_l"), "band", "key",
+            )
+            .join(
+                bk.select(
+                    F.col("doc_id").alias("doc_id_r"),
+                    F.col("simhash").alias("sim_r"), "band", "key",
+                ),
+                ["band", "key"],
+            )
+            .filter(F.col("doc_id_l") < F.col("doc_id_r"))
+            .dropDuplicates(["doc_id_l", "doc_id_r"])
+            .cache()
+        )
+        hits = cand.filter(
+            F.col("doc_id_r") - F.col("doc_id_l") == 1000000
+        ).count()
+        n_cand = cand.count()
+        n_close = cand.filter(
+            F.bit_count(F.col("sim_l").bitwiseXOR(F.col("sim_r"))) <= 3
+        ).count()
+        extras["simhash_recall"] = round(hits / max(n_docs, 1), 4)
+        extras["simhash_precision"] = round(n_close / max(n_cand, 1), 4)
+        cand.unpersist()
+        bk.unpersist()
+        corpus.unpersist()
+
+    simhash_quality()
+
+    # Embedding-cosine near-dup quality (not timed): candidate recall
+    # of the banded sign-LSH against EXACT brute-force ground truth
+    # (every pair with cosine >= threshold) over the corpus + engineered
+    # perturbed duplicates (cos ~0.95 vs their source).  Precision of
+    # the operator's OUTPUT is 1.0 by construction (exact-cosine verify
+    # stage); what LSH banding can lose is recall, so that is the
+    # number reported.
+    def embneardup_quality():
+        import numpy as np
+        import pandas as pd
+
+        from recordlinker_spark.operators.dedup import embedding_neardup_pairs
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        pdf = emb.toPandas()
+        vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        rng = np.random.default_rng(99)
+        noise = 0.2 * rng.normal(size=vecs.shape)
+        dup_vecs = vecs + noise * np.linalg.norm(
+            vecs, axis=1, keepdims=True
+        ) / np.linalg.norm(noise, axis=1, keepdims=True) * 0.33
+        ids = pdf["vec_id"].to_numpy()
+        all_ids = np.concatenate([ids, ids + 1000000])
+        all_vecs = np.concatenate([vecs, dup_vecs])
+        # exact ground truth: brute-force cosine on the driver (small
+        # bench corpus; the oracle-scale check lives in check_oracles)
+        norms = np.linalg.norm(all_vecs, axis=1, keepdims=True)
+        unit = all_vecs / np.where(norms == 0, 1, norms)
+        cos = unit @ unit.T
+        iu = np.triu_indices(len(all_ids), k=1)
+        truth_mask = cos[iu] >= 0.85
+        truth = {
+            (min(a, b), max(a, b))
+            for a, b in zip(
+                all_ids[iu[0]][truth_mask], all_ids[iu[1]][truth_mask]
+            )
+        }
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": all_ids, "embedding": [v.tolist() for v in all_vecs]}
+            )
+        ).selectExpr(
+            "cast(vec_id as long) vec_id",
+            "cast(embedding as array<float>) embedding",
+        ).repartition(CPUS)
+        got = {
+            (r["vec_id_l"], r["vec_id_r"])
+            for r in embedding_neardup_pairs(corpus, threshold=0.85).collect()
+        }
+        extras["embneardup_truth_pairs"] = float(len(truth))
+        extras["embneardup_recall"] = round(
+            len(got & truth) / max(len(truth), 1), 4
+        )
+
+    embneardup_quality()
+
     # BASELINE.json headline made explicit: pairwise F1 vs the
     # reference's OWN decisions.  Replays the reference's 6-patient
     # linking scenario (reference tests/unit/linking/test_link.py:
