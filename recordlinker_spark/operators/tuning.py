@@ -191,19 +191,28 @@ def _attach(pairs: DataFrame, feats: DataFrame, features: list[str]) -> DataFram
     return pairs.join(l, "record_id_l").join(r, "record_id_r")
 
 
-def class_probs(pairs_with_feats: DataFrame) -> dict[str, float]:
-    """A6: Laplace-smoothed exact-agreement rate per feature."""
+def exact_agreement_expr(feature: str):
+    """1.0 iff BOTH sides have a value for ``feature`` and any value
+    agrees exactly, else 0.0 — the single construction site for the
+    class-probability agreement semantics (class_probs here and the
+    oracle-gated demo query both consume it, so they cannot drift)."""
+    key = feature.replace(":", "_")
+    l, r = F.col("fl_" + key), F.col("fr_" + key)
+    return F.when(
+        (F.coalesce(F.size(l), F.lit(0)) > 0)
+        & (F.coalesce(F.size(r), F.lit(0)) > 0)
+        & F.arrays_overlap(l, r),
+        1.0,
+    ).otherwise(0.0)
+
+
+def class_probs(pairs_with_feats: DataFrame) -> tuple[dict[str, float], int]:
+    """A6: Laplace-smoothed exact-agreement rate per feature.
+
+    Returns ``(probs_by_feature, pair_count)``."""
     aggs = [F.count(F.lit(1)).alias("_n")]
     for f in FIELDS_TO_CALCULATE:
-        key = f.replace(":", "_")
-        l, r = F.col("fl_" + key), F.col("fr_" + key)
-        agree = F.when(
-            (F.coalesce(F.size(l), F.lit(0)) > 0)
-            & (F.coalesce(F.size(r), F.lit(0)) > 0)
-            & F.arrays_overlap(l, r),
-            1.0,
-        ).otherwise(0.0)
-        aggs.append(F.sum(agree).alias(f))
+        aggs.append(F.sum(exact_agreement_expr(f)).alias(f))
     row = pairs_with_feats.agg(*aggs).collect()[0]
     n = row["_n"]
     return {f: (1.0 + row[f]) / (n + 1.0) for f in FIELDS_TO_CALCULATE}, n

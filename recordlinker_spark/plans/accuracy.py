@@ -30,13 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from recordlinker_spark.config import Algorithm, dibbs_default
-from recordlinker_spark.operators.blocking import candidate_pairs
-from recordlinker_spark.operators.linkjob import (
-    link_batch,
-    prepare_incoming,
-    prepare_mpi,
-)
-from recordlinker_spark.operators.scoring import attach_pair_features, score_pairs
+from recordlinker_spark.operators.linkjob import link_batch
 from recordlinker_spark.sources.ingest import parse_documents
 from recordlinker_spark.schemas import DOCUMENTS_SCHEMA
 from recordlinker_spark.sources.spandoc import docs_to_rows
@@ -82,12 +76,13 @@ def load_labeled_records(
     for i, row in enumerate(rows):
         rid = f"{id_prefix}{i}"
         docs.append((rid, csv_row_to_pii(row), []))
+        # a blank Match Id means UNLABELED, not "shares the '' cluster
+        # with every other blank row" — fall back to a per-row id so
+        # each such seed stays its own single-record Person cluster and
+        # no blank==blank pair is labeled a true match
+        mid = str(row.get("Match Id", "")).strip() or f"solo-{rid}"
         meta.append(
-            (
-                rid,
-                str(row.get("Match Id", "")).strip(),
-                (row.get("Expected Result") or "").strip() or None,
-            )
+            (rid, mid, (row.get("Expected Result") or "").strip() or None)
         )
     records = parse_documents(
         spark.createDataFrame(docs_to_rows(docs), DOCUMENTS_SCHEMA)
@@ -130,7 +125,12 @@ def run_accuracy(
         "match_id", "expected"
     )
     incoming = test.drop("match_id", "expected")
-    out = link_batch(incoming, mpi, algorithm)
+    # keep_pair_scores + cache: ONE blocking+scoring computation feeds
+    # both the decision metrics and the pairwise-F1 section (the old
+    # code re-ran prepare/block/score per pass, doubling the job)
+    out = link_batch(
+        incoming, mpi, algorithm, keep_pair_scores=True, cache_intermediate=True
+    )
 
     labeled = out.decisions.join(
         test.select("record_id", "match_id", "expected"), "record_id"
@@ -152,28 +152,21 @@ def run_accuracy(
     ).collect()[0]
     tp, tn, fp, fn, pp = agg["tp"], agg["tn"], agg["fp"], agg["fn"], agg["pp"]
 
-    # ---- pairwise F1 at identical blocking keys (BASELINE headline)
-    inc_feats, inc_bk = prepare_incoming(incoming, algorithm)
-    mpi_feats, mpi_bk = prepare_mpi(mpi, algorithm)
-    pair_grade = None
+    # ---- pairwise F1 at identical blocking keys (BASELINE headline):
+    # reuses the per-pass scored pairs link_batch already computed
+    pred = F.lit(False)
     for algorithm_pass in algorithm.passes:
-        pairs = candidate_pairs(inc_bk, mpi_bk, algorithm, algorithm_pass)
-        scored = score_pairs(
-            attach_pair_features(pairs, inc_feats, mpi_feats, algorithm_pass),
-            algorithm,
-            algorithm_pass,
-        )
-        mmt, cmt = algorithm_pass.possible_match_window
+        _, cmt = algorithm_pass.possible_match_window
         max_points = algorithm.max_points(algorithm_pass)
-        g = scored.select(
-            "record_id_l",
-            "record_id_r",
-            (F.col("score") / F.lit(max_points) >= F.lit(cmt)).alias("pred"),
+        pred = pred | (
+            (F.col("pass_label") == algorithm_pass.resolved_label)
+            & (F.col("score") / F.lit(max_points) >= F.lit(cmt))
         )
-        pair_grade = g if pair_grade is None else pair_grade.unionByName(g)
     # best grade across passes per pair
-    pair_pred = pair_grade.groupBy("record_id_l", "record_id_r").agg(
-        F.max(F.col("pred").cast("int")).alias("pred")
+    pair_pred = (
+        out.pair_scores.select("record_id_l", "record_id_r", pred.alias("pred"))
+        .groupBy("record_id_l", "record_id_r")
+        .agg(F.max(F.col("pred").cast("int")).alias("pred"))
     )
     truth = pair_pred.join(
         test.select(F.col("record_id").alias("record_id_l"),

@@ -434,7 +434,7 @@ def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tuning_class_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: Laplace-smoothed agreement rates over the derived true pairs
     (even custkey = base record, odd = perturbed duplicate)."""
-    from recordlinker_spark.operators.tuning import _attach, class_probs
+    from recordlinker_spark.operators.tuning import _attach, exact_agreement_expr
 
     recs = derived_records(spark, sf_dir)
     from recordlinker_spark.functions.features import feature_columns
@@ -449,13 +449,7 @@ def q_tuning_class_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_feats = _attach(pairs, feats, probed)
     aggs = [F.count(F.lit(1)).alias("n")]
     for f in probed:
-        l, r = F.col("fl_" + f), F.col("fr_" + f)
-        agree = F.when(
-            (F.coalesce(F.size(l), F.lit(0)) > 0)
-            & (F.coalesce(F.size(r), F.lit(0)) > 0)
-            & F.arrays_overlap(l, r),
-            1.0,
-        ).otherwise(0.0)
+        agree = exact_agreement_expr(f)  # shared with class_probs (A6)
         aggs.append(
             F.round((F.sum(agree) + 1.0) / (F.count(F.lit(1)) + 1.0), 6).alias(
                 "m_" + f.lower()

@@ -71,12 +71,22 @@ def _read_mpi(spark: SparkSession, path: str) -> DataFrame:
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
     shutil.rmtree(path.rstrip("/") + ".tmp", ignore_errors=True)
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(MPI_SCHEMA).parquet(path).dropDuplicates(
             ["record_id"]
         )
-    except Exception:
-        return spark.createDataFrame([], MPI_SCHEMA)
+    except AnalysisException as exc:
+        # ONLY a genuinely-missing path means "empty MPI" (first run).
+        # Any other failure — permissions, corrupt footer, transient FS
+        # outage — must propagate: silently linking against an empty
+        # MPI would append every incoming record as a brand-new patient
+        # (same rationale as the catalog branch in _read_mpi_t).
+        cond = getattr(exc, "getErrorClass", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
+            return spark.createDataFrame([], MPI_SCHEMA)
+        raise
 
 
 def _mpi_target(args) -> TableTarget:
@@ -296,12 +306,17 @@ def job_delete(spark: SparkSession, args) -> None:
             raise ValueError(
                 f"Persons still have patients: {sorted(with_patients)}"
             )
-        report["persons_deleted"] = len(ids)
         if getattr(args, "persons", None):
             persons = spark.read.parquet(args.persons)
-            _rewrite_mpi(
-                persons.filter(~F.col("person_id").isin(ids)), args.persons
-            )
+            before = persons.count()
+            kept_persons = persons.filter(~F.col("person_id").isin(ids))
+            report["persons_deleted"] = before - kept_persons.count()
+            _rewrite_mpi(kept_persons, args.persons)
+        else:
+            # no registry to delete from: the guard passed, but nothing
+            # was removed anywhere — report that honestly
+            report["persons_deleted"] = 0
+            report["persons_releasable"] = len(ids)
     print(json.dumps(report))
 
 

@@ -45,9 +45,25 @@ class TableTarget:
 
     def append(self, df: DataFrame) -> None:
         """Atomic append: Iceberg snapshot commit, or parquet append
-        (atomic only at file granularity — the documented fallback)."""
+        (atomic only at file granularity — the documented fallback).
+
+        First-run bootstrap: ``DataFrameWriterV2.append`` requires an
+        existing table, so a not-found error falls back to an atomic
+        ``create()`` — without this the catalog path could never create
+        the MPI table the read side treats as 'empty MPI, first run'."""
         if self.catalog:
-            df.writeTo(self.ident).append()
+            from pyspark.errors import AnalysisException
+
+            try:
+                df.writeTo(self.ident).append()
+            except AnalysisException as exc:
+                cond = getattr(exc, "getErrorClass", lambda: None)() or ""
+                if (
+                    "TABLE_OR_VIEW_NOT_FOUND" not in cond
+                    and "TABLE_OR_VIEW_NOT_FOUND" not in str(exc)
+                ):
+                    raise
+                df.writeTo(self.ident).using("iceberg").create()
         else:
             df.write.mode("append").parquet(self.ident)
 

@@ -435,7 +435,9 @@ def _py_norm_sex(v: str | None) -> str | None:
     return None
 
 
-def _py_norm_race(v: str) -> str:
+def _py_norm_race(v: str | None) -> str:
+    if v is None:  # SQL twin's when-conditions fall through to OTHER
+        return "OTHER"
     low = v.strip(_SQL_SPACE).lower()
     for substrings, race in _RACE_MAPPING:
         if any(s in low for s in substrings):

@@ -14,17 +14,19 @@ outside the stream (person CRUD, S3/S7), and blocking needs full
 joins against it.  applyInPandasWithState would trap the MPI in one
 stream's state store.
 
-Exactly-once: the micro-batch writes (patients append + decisions
-append) key on ``(batch_id, record_id)``; on restart Spark replays the
-last uncommitted batch and the append is idempotent because the
-decision is a deterministic function of (records, MPI-at-batch-start)
-and the MPI store ignores duplicate record_ids (parquet dedup on read;
-an Iceberg deployment uses MERGE for true idempotence).
+Exactly-once: foreachBatch is at-least-once, so idempotence is built
+in two layers — (1) a replay whose records are ALL already in the MPI
+is skipped outright (the batch fully committed before the crash); (2)
+decisions land in a ``run_id=R/batch_id=N`` partition directory (R
+derived from the checkpoint location, since batch ids restart at 0
+per checkpoint) with overwrite,
+so a replay that got past the guard replaces its own partial output
+instead of appending a second copy.  The MPI store ignores duplicate
+record_ids (parquet dedup on read; an Iceberg deployment uses MERGE
+for true idempotence).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,36 +46,62 @@ class IncrementalLinker:
         mpi_dir: str,
         decisions_dir: str,
         algorithm: Algorithm,
+        run_id: str = "0",
         **block_kwargs,
     ):
         self.spark = spark
         self.mpi_dir = mpi_dir
         self.decisions_dir = decisions_dir
         self.algorithm = algorithm
+        # batch_id restarts at 0 for every new checkpoint location, so
+        # the idempotent decision slot must be (run_id, batch_id) — the
+        # caller derives run_id from the checkpoint dir
+        self.run_id = run_id
         self.block_kwargs = block_kwargs
 
     def current_mpi(self) -> DataFrame:
-        has_data = os.path.isdir(self.mpi_dir) and any(
-            n.endswith(".parquet") for n in os.listdir(self.mpi_dir)
-        )
-        if has_data:
+        from pyspark.errors import AnalysisException
+
+        # probe through Spark's reader, not os.path: the MPI store can
+        # live on any Hadoop-compatible FS (hdfs://, s3a://), where a
+        # driver-local isdir() would silently report "no data" and every
+        # batch would link against an empty MPI
+        try:
             return (
                 self.spark.read.schema(MPI_SCHEMA)
                 .parquet(self.mpi_dir)
                 .dropDuplicates(["record_id"])
             )
-        return self.spark.createDataFrame([], MPI_SCHEMA)
+        except AnalysisException as exc:
+            cond = getattr(exc, "getErrorClass", lambda: None)() or ""
+            if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
+                return self.spark.createDataFrame([], MPI_SCHEMA)
+            raise
 
     def __call__(self, batch_docs: DataFrame, batch_id: int) -> None:
         if batch_docs.isEmpty():
             return
         records = parse_documents(batch_docs.select("doc_id", "spans"))
-        out = link_batch(records, self.current_mpi(), self.algorithm, **self.block_kwargs)
-        # order matters for restart idempotence: decisions first (audit),
-        # then the patients append that changes future batches
-        out.decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(self.decisions_dir)
+        mpi = self.current_mpi()
+        # restart replay guard: foreachBatch is at-least-once — if every
+        # record of this batch is already in the MPI, the batch fully
+        # committed before a crash, so re-linking it (now against an MPI
+        # containing its own records) would emit contradictory decisions
+        if (
+            batch_docs.select(F.col("doc_id").alias("record_id"))
+            .join(mpi.select("record_id"), "record_id", "left_anti")
+            .isEmpty()
+        ):
+            return
+        out = link_batch(records, mpi, self.algorithm, **self.block_kwargs)
+        # decisions land in a batch-scoped partition dir with overwrite:
+        # a replay that got past the guard (crash between the two
+        # writes) REPLACES its own partial output instead of appending a
+        # second copy; readers see batch_id as a partition column
+        out.decisions.write.mode("overwrite").parquet(
+            f"{self.decisions_dir.rstrip('/')}"
+            f"/run_id={self.run_id}/batch_id={batch_id}"
+        )
         out.new_patients.select(*[f.name for f in MPI_SCHEMA.fields]).write.mode(
             "append"
         ).parquet(self.mpi_dir)
@@ -99,7 +127,12 @@ def link_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    sink = IncrementalLinker(spark, mpi_dir, decisions_dir, algorithm, **block_kwargs)
+    import hashlib
+
+    run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    sink = IncrementalLinker(
+        spark, mpi_dir, decisions_dir, algorithm, run_id=run_id, **block_kwargs
+    )
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)

@@ -54,7 +54,7 @@ def test_engines_match_on_fixtures(spark):
                 {"value": "Foo@Bar.COM ", "system": "email"},
                 {"value": "raw", "system": None},
             ],
-            "race": ["Black or African American", "unknown"],
+            "race": ["Black or African American", "unknown", None],
             "identifiers": [
                 {"type": "SS", "value": "123456789", "authority": " ssa "},
                 {"type": "MR", "value": "mrn-1", "authority": None},

@@ -108,10 +108,24 @@ def test_delete_patients_and_persons(spark, tmp_path, capsys):
         r["record_id"] for r in spark.read.parquet(mpi_dir).collect()
     } == {"r0", "r1"}
 
-    # now p2 is empty and deletable
+    # now p2 is empty and deletable — but with no --persons registry
+    # nothing is actually removed anywhere; the report must say so
     jobs.job_delete(spark, A(mpi=mpi_dir, person_ids="p2"))
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["persons_deleted"] == 0
+    assert report["persons_releasable"] == 1
+
+    # with a registry, the row is removed and counted
+    persons_dir = str(tmp_path / "persons")
+    spark.createDataFrame(
+        [("p1",), ("p2",)], "person_id string"
+    ).write.parquet(persons_dir)
+    jobs.job_delete(spark, A(mpi=mpi_dir, person_ids="p2", persons=persons_dir))
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["persons_deleted"] == 1
+    assert {
+        r["person_id"] for r in spark.read.parquet(persons_dir).collect()
+    } == {"p1"}
 
 
 def test_update_patient_and_repoint(spark, tmp_path, capsys):

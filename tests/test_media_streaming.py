@@ -156,6 +156,34 @@ def test_pnm_16bit_samples_are_big_endian(spark):
     assert all(abs(f - expect) < 1e-4 for f in r["feature"])
 
 
+def test_incremental_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a committed batch
+    must not duplicate decisions or MPI rows, and must not re-link the
+    batch against an MPI containing its own records."""
+    from recordlinker_spark.streaming.incremental import IncrementalLinker
+
+    mpi_dir = str(tmp_path / "mpi")
+    dec_dir = str(tmp_path / "decisions")
+    sink = IncrementalLinker(spark, mpi_dir, dec_dir, dibbs_default())
+    batch = spark.createDataFrame(
+        docs_to_rows(
+            [(f"r{i}", p, []) for i, p in enumerate(SIX_PATIENTS[:3])]
+        ),
+        DOCUMENTS_SCHEMA,
+    )
+    sink(batch, 0)
+    first_dec = sorted(
+        map(tuple, spark.read.parquet(dec_dir).drop("run_id", "batch_id").collect())
+    )
+    first_mpi = spark.read.parquet(mpi_dir).count()
+    # replay the same (batch_df, batch_id) — the guard must skip it
+    sink(batch, 0)
+    assert sorted(
+        map(tuple, spark.read.parquet(dec_dir).drop("run_id", "batch_id").collect())
+    ) == first_dec
+    assert spark.read.parquet(mpi_dir).count() == first_mpi
+
+
 def test_streaming_incremental_link(spark, tmp_path):
     """The stream (1 file per micro-batch) reproduces the sequential
     linking outcome of the 6-patient scenario: [no,match,no,match,no,no],
