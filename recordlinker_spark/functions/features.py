@@ -93,8 +93,12 @@ def norm_text_array_expr(arr: Column) -> Column:
     NOT ``transform(arr, norm_text_expr)``: a regexp inside a
     higher-order-function lambda degrades with executor-thread count
     (see sources/ingest.py perf note), while top-level regexp stays in
-    codegen.  Null elements normalize to '' (downstream treats '' as
-    missing, same as the reference skipping falsy values)."""
+    codegen.  Null elements normalize to '' — callers filter raw-falsy
+    values FIRST (``_nonempty``), mirroring the reference's raw-value
+    guards (pii.py:486-560 ``if value:``); a raw-truthy value that
+    normalizes to '' (e.g. a CJK name under the ASCII scrub) is KEPT,
+    exactly like the reference yielding ``normalize_text(value)``
+    unconditionally after its raw guard."""
     src, dst, _ = nfkd_translate_table()
     joined = F.array_join(arr, _SEP, "")  # null elements -> ''
     cleaned = F.lower(
@@ -176,7 +180,16 @@ def feature_columns(
             F.coalesce(n["family"], F.lit("")),
         ),
     )
-    raw["SUFFIX"] = _nonempty(F.flatten(F.transform(name, lambda n: n["suffix"])))
+    # coalesce each name's suffix array: flatten() returns NULL when ANY
+    # nested array is NULL, which would wipe the feature for the record
+    raw["SUFFIX"] = _nonempty(
+        F.flatten(
+            F.transform(
+                name,
+                lambda n: F.coalesce(n["suffix"], F.array().cast("array<string>")),
+            )
+        )
+    )
     # ---- race / telecom
     raw["RACE"] = F.filter(
         F.col("race"), lambda r: ~r.isin("UNKNOWN", "ASKED_UNKNOWN")

@@ -70,10 +70,14 @@ def _bk(key: str) -> Column:
 
 
 def eligible_subsets(keys: tuple[str, ...]) -> list[tuple[str, ...]]:
-    """All non-empty subsets of the pass keys, as sorted tuples."""
+    """All non-empty subsets of the pass keys, as sorted tuples.
+
+    Sorted WITHIN each tuple to match missingness_filter's ``_subset``
+    tags (comma-joined sorted key names) — an unsorted tuple fed to
+    ``blocked_persons(subsets=...)`` would match no census rows."""
     out: list[tuple[str, ...]] = []
     for r in range(1, len(keys) + 1):
-        out.extend(combinations(keys, r))
+        out.extend(tuple(sorted(c)) for c in combinations(keys, r))
     return out
 
 

@@ -14,9 +14,11 @@ contracts low-degree structure via min-label hashing, converging in
 O(log^2 n) rounds on skewed graphs (a hub record matched to thousands
 of duplicates is exactly the skew case), versus O(diameter) rounds for
 plain propagation.  Each round is two self-join + groupBy stages that
-AQE can replan; lineage is cut every round with localCheckpoint (or a
-parquet checkpoint when a checkpoint_dir is given — the resumable
-path, see plans/checkpoint.py).
+AQE can replan; lineage is cut every round with localCheckpoint, or —
+when ``checkpoint_dir`` is given — with a parquet checkpoint + manifest
+per iteration, the RESUMABLE path (a driver restart with the same
+directory and input resumes mid-closure; see plans/checkpoint.py for
+the stage-level protocol).
 
 Seeded clusters (S3/M4: pre-labeled person_id from /seed) enter as
 extra edges record<->seed-label so CC respects and merges them.
@@ -70,6 +72,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     checkpoint_every: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges(src:string, dst:string) -> labels(record_id, component).
 
@@ -77,9 +80,18 @@ def connected_components(
     Converges when an alternation changes no edges (checked via count
     of non-star edges). Singleton nodes (no edges) are the caller's
     concern — see :func:`assign_persons`.
+
+    With ``checkpoint_dir``, every checkpointed iteration writes its
+    edge state to ``<dir>/iter=N`` parquet and appends a manifest line
+    (iteration, path, edge checksum) — a driver restart with the same
+    directory AND the same input edges resumes from the last completed
+    iteration instead of recomputing all rounds (the north rule's
+    resumable-from-checkpoint contract; same protocol as
+    plans/checkpoint.py).  Without it, lineage is cut with
+    localCheckpoint (executor-local, NOT resumable).
     """
-    edges = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    import json
+    import os
 
     def checksum(df: DataFrame) -> tuple:
         row = df.agg(
@@ -90,12 +102,53 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    prev = checksum(edges)
-    for i in range(max_iterations):
+    spark = edges.sparkSession
+    manifest_path = None
+    start_iter = 0
+    prev = None
+    if checkpoint_dir is not None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        manifest_path = os.path.join(checkpoint_dir, "CC_MANIFEST.jsonl")
+        done: list[dict] = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                done = [json.loads(line) for line in fh if line.strip()]
+        if done:
+            last = done[-1]
+            edges = spark.read.parquet(last["path"])
+            start_iter = last["iter"] + 1
+            prev = (last["n"], last["h"])
+    if prev is None:
+        edges = (
+            edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        edges = edges.localCheckpoint(eager=True)
+        prev = checksum(edges)
+
+    for i in range(start_iter, max_iterations):
         edges = _small_star(_large_star(edges))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            edges = edges.localCheckpoint(eager=True)
+            if checkpoint_dir is not None:
+                path = os.path.join(checkpoint_dir, f"iter={i}")
+                edges.write.mode("overwrite").parquet(path)
+                edges = spark.read.parquet(path)
+            else:
+                edges = edges.localCheckpoint(eager=True)
         cur = checksum(edges)
+        if checkpoint_dir is not None and checkpoint_every and (
+            (i + 1) % checkpoint_every == 0
+        ):
+            with open(manifest_path, "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {"iter": i, "path": path, "n": cur[0], "h": cur[1]}
+                    )
+                    + "\n"
+                )
+                fh.flush()
+                os.fsync(fh.fileno())
         # fixpoint: the edge multiset didn't change over an alternation
         if cur == prev:
             break
@@ -140,7 +193,9 @@ def assign_persons(
     # components anchored by a seed sentinel (the \x00 prefix sorts below
     # every record id, so it wins the min) keep the seeded person_id
     person = F.when(
-        base.startswith("\x00seed:"), F.substring(base, 8, 1 << 20)
+        # strip the 6-char "\x00seed:" sentinel prefix (substring is
+        # 1-indexed, so the person_id starts at position 7)
+        base.startswith("\x00seed:"), F.substring(base, 7, 1 << 20)
     ).otherwise(
         F.concat(F.lit("p-"), F.md5(F.concat(F.lit("person:"), base)))
     )

@@ -34,6 +34,17 @@ from recordlinker_spark.operators.scoring import fs_col
 GRADE_RANK = {"certain": 2, "possible": 1}
 
 
+def grade_rank(col: str = "grade"):
+    """Grade -> sort rank (higher wins), driven by GRADE_RANK so the
+    fold and decide windows cannot drift from the table."""
+    expr = None
+    for g, r in GRADE_RANK.items():
+        expr = F.when(F.col(col) == g, r) if expr is None else expr.when(
+            F.col(col) == g, r
+        )
+    return expr.otherwise(0)
+
+
 def cluster_scores(
     scored_pairs: DataFrame, algorithm: Algorithm, algorithm_pass: AlgorithmPass
 ) -> DataFrame:
@@ -92,11 +103,7 @@ def fold_passes(per_pass_results: list[DataFrame]) -> DataFrame:
     unioned = per_pass_results[0].select(*common)
     for df in per_pass_results[1:]:
         unioned = unioned.unionByName(df.select(*common))
-    rank = (
-        F.when(F.col("grade") == "certain", 2)
-        .when(F.col("grade") == "possible", 1)
-        .otherwise(0)
-    )
+    rank = grade_rank()
     w = Window.partitionBy("record_id_l", "person_id").orderBy(
         rank.desc(), F.col("rms").desc(), F.col("pass_label")
     )
@@ -126,11 +133,7 @@ def decide(
         every certain if ``include_multiple_matches`` else the top one
         — otherwise all possibles), reference link.py:316-341.
     """
-    rank = (
-        F.when(F.col("grade") == "certain", 2)
-        .when(F.col("grade") == "possible", 1)
-        .otherwise(0)
-    )
+    rank = grade_rank()
     w = Window.partitionBy("record_id_l").orderBy(
         rank.desc(), F.col("rms").desc(), F.col("person_id")
     )

@@ -68,6 +68,16 @@ class LinkOutput:
     results: DataFrame  # reported LinkResults (certain/possible clusters)
     new_patients: DataFrame  # incoming records with assigned person_id + spans
     pair_scores: DataFrame | None = None  # per-pass scored pairs (debug/tuning)
+    cached: list = dataclasses.field(default_factory=list, repr=False)
+
+    def unpersist(self) -> None:
+        """Release the projections link_batch cached for this call.
+        Callers that invoke link_batch in a loop (replay harness) MUST
+        call this after consuming the outputs, or cached frames
+        accumulate in the block manager across iterations."""
+        for df in self.cached:
+            df.unpersist()
+        self.cached.clear()
 
 
 def _identifier_types(algorithm: Algorithm) -> list[str]:
@@ -140,12 +150,14 @@ def link_batch(
     """
     inc_feats, inc_bk = prepare_incoming(incoming, algorithm)
     mpi_feats, mpi_bk = prepare_mpi(mpi_patients, algorithm)
+    cached: list = []
     if len(algorithm.passes) > 1 or cache_intermediate:
         # every pass re-joins these projections; without a cache each
         # pass would re-run span parsing + feature extraction over the
         # whole MPI (the widest scan in the job)
         inc_bk = inc_bk.cache()
         mpi_bk = mpi_bk.cache()
+        cached += [inc_bk, mpi_bk]
         warm_list = [mpi_bk, inc_bk]
         if cache_feats:
             # feats caching is a trade: it avoids re-extracting features
@@ -156,6 +168,7 @@ def link_batch(
             # the default
             inc_feats = inc_feats.cache()
             mpi_feats = mpi_feats.cache()
+            cached += [inc_feats, mpi_feats]
             warm_list += [mpi_feats, inc_feats]
         # materialize the cached projections BEFORE the pass threads
         # fork: concurrent first-touch of an unmaterialized cache makes
@@ -211,6 +224,7 @@ def link_batch(
             # one blocking+scoring computation shared by the cluster
             # aggregation and any pair_scores consumer
             scored = scored.cache()
+            cached.append(scored)
         return scored
 
     # passes are independent until the fold; their driver-side actions
@@ -251,4 +265,5 @@ def link_batch(
         results=results,
         new_patients=new_patients,
         pair_scores=all_scored,
+        cached=cached,
     )

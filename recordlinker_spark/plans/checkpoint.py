@@ -17,7 +17,7 @@ engine-native design:
 * ``StageRunner.stage(name, fn)`` is the idempotence point: if the
   manifest marks the stage complete, the parquet is loaded and ``fn``
   never runs — a driver restart resumes mid-pipeline;
-* metrics (A9): counters appended to ``<run>/metrics`` parquet.
+* metrics (A9): counters appended driver-side to ``<run>/metrics.jsonl``\n  (no Spark job per counter — they are driver-known values).
 
 Storage: local/HDFS parquet in this sandbox.  On an Iceberg deployment
 the same runner maps writes to ``df.writeTo(table).append()`` and the
@@ -79,8 +79,12 @@ class StageRunner:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         out = self.spark.read.parquet(path)
-        n = out.count()
-        parts = out.select("_part_id").distinct().count()
+        # one job for both manifest facts (was a count + a distinct-count)
+        stats = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("_part_id").alias("parts"),
+        ).collect()[0]
+        n, parts = stats["n"], stats["parts"]
         rec = {
             "job_id": self.job_id,
             "stage": name,
@@ -99,17 +103,29 @@ class StageRunner:
 
     # ------------------------------------------------------------------
     def metric(self, stage: str, metric: str, value: float) -> None:
-        """A9: append one metrics row (tiny writes batched by parquet
-        file; an Iceberg deployment appends to a metrics table)."""
-        path = os.path.join(self.run_dir, "metrics")
-        row = [(self.job_id, stage, metric, float(value), time.time())]
-        df = self.spark.createDataFrame(
-            row, "job_id string, stage string, metric string, value double, ts double"
-        )
-        df.coalesce(1).write.mode("append").parquet(path)
+        """A9: append one metrics row.  Counters are DRIVER-known values
+        (names, counts, seconds), so they are recorded driver-side as
+        fsynced JSONL — zero Spark jobs per metric (the previous
+        one-row-parquet-write-per-call added two driver-blocking jobs
+        to every stage, pure fixed latency).  An Iceberg deployment
+        appends to a metrics table instead."""
+        path = os.path.join(self.run_dir, "metrics.jsonl")
+        rec = {
+            "job_id": self.job_id,
+            "stage": stage,
+            "metric": metric,
+            "value": float(value),
+            "ts": time.time(),
+        }
+        with open(path, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.run_dir, "metrics"))
+        return self.spark.read.schema(
+            "job_id string, stage string, metric string, value double, ts double"
+        ).json(os.path.join(self.run_dir, "metrics.jsonl"))
 
 
 def checkpointed_link_job(

@@ -169,7 +169,14 @@ def job_cluster(spark: SparkSession, args) -> None:
         ).select("record_id_l", "record_id_r")
         edges = certain if edges is None else edges.unionByName(certain)
 
-    labels = assign_persons(records, edges)
+    # optional pre-assigned clusters (M4): seeded labels merge with
+    # batch matches through the sentinel edges in assign_persons
+    seed_labels = None
+    if getattr(args, "labels", None):
+        seed_labels = spark.read.parquet(args.labels).select(
+            "record_id", "person_id"
+        )
+    labels = assign_persons(records, edges, seed_labels=seed_labels)
     labels.write.mode("overwrite").parquet(args.out)
 
 

@@ -79,4 +79,8 @@ def replay_link(
             )
         )
         mpi_rows.extend(out.new_patients.collect())
+        # release this step's cached projections: replay calls
+        # link_batch once per record, and without this the block
+        # manager accumulates 4 cached frames per step
+        out.unpersist()
     return steps, mpi_rows

@@ -120,6 +120,10 @@ def _perturb(rng: random.Random, rec: dict) -> dict:
     import copy as _copy
 
     out = _copy.deepcopy(rec)
+    # "zip" and "none" are deliberate no-op slots: they dial DOWN the
+    # effective perturbation frequency without changing the rng draw
+    # sequence (corpus checksums across recorded scaling runs depend on
+    # this sequence — do not add branches for them)
     choices = rng.sample(
         ["first", "last", "address", "birth_date", "zip", "none"],
         k=rng.randint(1, 2),
@@ -191,7 +195,6 @@ def synth_documents(
 ) -> DataFrame:
     """Distributed deterministic corpus: ``num_persons`` persons with
     1..max_dups span-documents each + ``person_key`` ground truth."""
-    hot_rng = random.Random(seed ^ 0x5EED)
     hot_birthdates = [
         datetime.date(1970 + i, 1, 1).isoformat() for i in range(4)
     ]

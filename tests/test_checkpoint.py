@@ -64,3 +64,44 @@ def test_checkpointed_link_job_resume(spark, tmp_path):
     assert rows1 == rows2
     stages = {json.loads(l)["stage"] for l in open(f"{run_dir}/MANIFEST.jsonl")}
     assert {"ingest", "pass0_pairs", "pass0_scores", "decisions"} <= stages
+
+
+def test_connected_components_resumes_from_checkpoint(spark, tmp_path):
+    """CC with checkpoint_dir resumes from the last completed iteration:
+    a rerun with the same dir + input converges immediately (at most one
+    extra manifest line) and labels are identical."""
+    import json
+
+    from recordlinker_spark.operators.cluster import connected_components
+
+    # a 6-node path graph (worst case for propagation: needs iterations)
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(5)], "src string, dst string"
+    )
+    cc_dir = str(tmp_path / "cc")
+    labels1 = {
+        r["record_id"]: r["component"]
+        for r in connected_components(edges, checkpoint_dir=cc_dir).collect()
+    }
+    assert set(labels1.values()) == {"n0"}
+    manifest = tmp_path / "cc" / "CC_MANIFEST.jsonl"
+    lines1 = [json.loads(l) for l in manifest.read_text().splitlines()]
+    assert len(lines1) >= 1
+
+    # rerun: resumes at the converged state, no full recomputation
+    labels2 = {
+        r["record_id"]: r["component"]
+        for r in connected_components(edges, checkpoint_dir=cc_dir).collect()
+    }
+    assert labels2 == labels1
+    lines2 = [json.loads(l) for l in manifest.read_text().splitlines()]
+    assert len(lines2) <= len(lines1) + 1
+
+    # mid-run resume: truncate the manifest to its first iteration and
+    # rerun — the closure completes from that state with the same labels
+    manifest.write_text(json.dumps(lines1[0]) + "\n")
+    labels3 = {
+        r["record_id"]: r["component"]
+        for r in connected_components(edges, checkpoint_dir=cc_dir).collect()
+    }
+    assert labels3 == labels1

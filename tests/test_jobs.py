@@ -236,6 +236,31 @@ def test_cluster_bootstrap(spark, tmp_path):
     assert hit_pairs / total_pairs > 0.5
 
 
+def test_assign_persons_seeded_clusters(spark):
+    """M4: seeded labels survive exactly (including 1-char person ids —
+    pins the sentinel-prefix arithmetic) and merge with batch matches."""
+    from recordlinker_spark.operators.cluster import assign_persons
+
+    records = spark.createDataFrame(
+        [("r1",), ("r2",), ("r3",), ("r4",)], "record_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("r1", "r2")], "record_id_l string, record_id_r string"
+    )
+    seeds = spark.createDataFrame(
+        [("r2", "x"), ("r3", "alpha")], "record_id string, person_id string"
+    )
+    got = {
+        r["record_id"]: r["person_id"]
+        for r in assign_persons(records, pairs, seed_labels=seeds).collect()
+    }
+    # r1-r2 matched and r2 is seeded 'x': the whole component keeps it
+    assert got["r1"] == "x" and got["r2"] == "x"
+    assert got["r3"] == "alpha"
+    # r4 is a singleton: minted label
+    assert got["r4"].startswith("p-")
+
+
 def test_tune_manifest(spark, tmp_path):
     """job_tune writes the TuningJob-style run manifest on success AND
     on guard rejection (reference models/tuning.py state machine)."""
