@@ -83,7 +83,10 @@ def _read_mpi(spark: SparkSession, path: str) -> DataFrame:
         # outage — must propagate: silently linking against an empty
         # MPI would append every incoming record as a brand-new patient
         # (same rationale as the catalog branch in _read_mpi_t).
-        cond = getattr(exc, "getErrorClass", lambda: None)() or ""
+        get_cond = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", lambda: None
+        )  # getCondition supersedes getErrorClass (Spark 4)
+        cond = get_cond() or ""
         if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
             return spark.createDataFrame([], MPI_SCHEMA)
         raise
@@ -109,7 +112,10 @@ def _read_mpi_t(spark: SparkSession, target: TableTarget) -> DataFrame:
             # record as a brand-new patient (mass duplication).  The
             # reference's DB layer likewise raises on session failures
             # (src/recordlinker/database/__init__.py).
-            cond = getattr(exc, "getErrorClass", lambda: None)() or ""
+            get_cond = getattr(exc, "getCondition", None) or getattr(
+                exc, "getErrorClass", lambda: None
+            )  # getCondition supersedes getErrorClass (Spark 4)
+            cond = get_cond() or ""
             if "TABLE_OR_VIEW_NOT_FOUND" in cond or "TABLE_OR_VIEW_NOT_FOUND" in str(exc):
                 return spark.createDataFrame([], MPI_SCHEMA)
             raise
@@ -128,10 +134,36 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
     from recordlinker_spark.operators.linkjob import link_batch
 
     target = _mpi_target(args)
-    records = parse_documents(spark.read.parquet(args.documents))
+    fhir_mode = bool(getattr(args, "fhir", False))
+    if fhir_mode:
+        # batch analog of POST /link/fhir (link_router.py:90-122):
+        # --documents is a directory of FHIR bundle JSON files, one
+        # bundle per file; file name = record id
+        from recordlinker_spark.sources.fhir import (
+            enrich_bundles,
+            parse_fhir_bundles,
+        )
+
+        bundles = (
+            spark.read.option("wholetext", "true")
+            .text(args.documents)
+            .select(
+                F.input_file_name().alias("doc_id"),
+                F.col("value").alias("bundle"),
+            )
+        )
+        records = parse_fhir_bundles(bundles)
+    else:
+        records = parse_documents(spark.read.parquet(args.documents))
     mpi = _read_mpi_t(spark, target)
     out = link_batch(records, mpi, _algorithm(args))
     out.decisions.write.mode("overwrite").parquet(args.out)
+    if fhir_mode:
+        # per-bundle response rows: grade, person, Person-enriched
+        # bundle (NULL when no person, like the reference response)
+        enrich_bundles(bundles, out.decisions, records).write.mode(
+            "overwrite"
+        ).parquet(args.out.rstrip("/") + ".fhir")
     if persist:
         target.append(
             out.new_patients.select(*[f.name for f in MPI_SCHEMA.fields])
@@ -434,6 +466,13 @@ def main(argv: list[str] | None = None) -> None:
             "--catalog",
             action="store_true",
             help="treat --mpi as an Iceberg table identifier (writeTo path)",
+        )
+        sp.add_argument(
+            "--fhir",
+            action="store_true",
+            help="link/match: --documents is a directory of FHIR bundle "
+            "JSON files; writes Person-enriched bundles to <out>.fhir "
+            "(the POST /link/fhir analog)",
         )
     args = p.parse_args(argv)
     spark = _spark()

@@ -57,7 +57,10 @@ class TableTarget:
             try:
                 df.writeTo(self.ident).append()
             except AnalysisException as exc:
-                cond = getattr(exc, "getErrorClass", lambda: None)() or ""
+                get_cond = getattr(exc, "getCondition", None) or getattr(
+                    exc, "getErrorClass", lambda: None
+                )  # getCondition supersedes getErrorClass (Spark 4)
+                cond = get_cond() or ""
                 if (
                     "TABLE_OR_VIEW_NOT_FOUND" not in cond
                     and "TABLE_OR_VIEW_NOT_FOUND" not in str(exc)

@@ -221,3 +221,57 @@ def add_person_resource(
         }
     )
     return bundle
+
+
+def enrich_bundles(
+    bundles: DataFrame,
+    decisions: DataFrame,
+    records: DataFrame,
+    id_col: str = "doc_id",
+    bundle_col: str = "bundle",
+) -> DataFrame:
+    """Distributed twin of :func:`add_person_resource` — the batch
+    analog of the reference's ``POST /link/fhir`` response
+    (link_router.py:90-122): per bundle, ``final_grade`` /
+    ``person_id`` plus ``updated_bundle`` (the input bundle with a
+    Person resource appended, linked to the record's external patient
+    id).  Like the reference (``updated_bundle = person and ...``),
+    rows whose decision carries no person (possible grade pending
+    review) get a NULL ``updated_bundle``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    joined = bundles.select(id_col, bundle_col).join(
+        decisions.select(
+            F.col("record_id").alias(id_col), "final_grade", "person_id"
+        ),
+        id_col,
+    ).join(
+        records.select(F.col("record_id").alias(id_col), "external_id"),
+        id_col,
+    )
+
+    @F.pandas_udf(T.StringType())
+    def _enrich(
+        bundle: pd.Series, person: pd.Series, patient: pd.Series
+    ) -> pd.Series:
+        out = []
+        for b, p, pid in zip(bundle, person, patient):
+            if p is None:
+                out.append(None)
+                continue
+            doc = json.loads(b) if isinstance(b, str) else dict(b)
+            out.append(
+                json.dumps(add_person_resource(p, pid or "", doc))
+            )
+        return pd.Series(out, dtype="object")
+
+    return joined.select(
+        id_col,
+        "final_grade",
+        "person_id",
+        _enrich(F.col(bundle_col), F.col("person_id"), F.col("external_id")).alias(
+            "updated_bundle"
+        ),
+    )

@@ -73,7 +73,10 @@ class IncrementalLinker:
                 .dropDuplicates(["record_id"])
             )
         except AnalysisException as exc:
-            cond = getattr(exc, "getErrorClass", lambda: None)() or ""
+            get_cond = getattr(exc, "getCondition", None) or getattr(
+                exc, "getErrorClass", lambda: None
+            )  # getCondition supersedes getErrorClass (Spark 4)
+            cond = get_cond() or ""
             if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
                 return self.spark.createDataFrame([], MPI_SCHEMA)
             raise

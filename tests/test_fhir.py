@@ -190,3 +190,76 @@ def test_add_person_resource():
         {"target": {"reference": "Patient/p0"}}
     ]
     assert added["request"] == {"method": "PUT", "url": "Person/per-1"}
+
+
+def test_link_fhir_job(spark, tmp_path):
+    """--fhir job mode: a directory of bundle JSON files links end to
+    end and <out>.fhir carries Person-enriched bundles (the POST
+    /link/fhir analog, link_router.py:90-122)."""
+    from recordlinker_spark.plans import jobs
+
+    class A:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    bdir = tmp_path / "bundles"
+    bdir.mkdir()
+    (bdir / "b1.json").write_text(_bundle(FULL_PATIENT))
+    (bdir / "b2.json").write_text(
+        _bundle(
+            {
+                "resourceType": "Patient",
+                "id": "pat-2",
+                "gender": "male",
+                "birthDate": "1990-01-02",
+                "name": [{"family": "Jones", "given": ["Al"], "use": "official"}],
+            }
+        )
+    )
+    out = str(tmp_path / "decisions")
+    jobs.job_link(
+        spark,
+        A(documents=str(bdir), mpi=str(tmp_path / "mpi"), out=out, fhir=True),
+        persist=True,
+    )
+    assert spark.read.parquet(out).count() == 2
+    fh = {
+        os.path.basename(r["doc_id"]): r
+        for r in spark.read.parquet(out + ".fhir").collect()
+    }
+    assert set(fh) == {"b1.json", "b2.json"}
+    for r in fh.values():
+        assert r["final_grade"] == "certainly-not"  # empty MPI, new persons
+        ub = json.loads(r["updated_bundle"])
+        persons = [
+            e for e in ub["entry"]
+            if e["resource"]["resourceType"] == "Person"
+        ]
+        assert len(persons) == 1
+        assert persons[0]["resource"]["id"] == r["person_id"]
+    # the enriched b1 bundle links the Person to the Patient external id
+    link = json.loads(fh["b1.json"]["updated_bundle"])
+    person = [e for e in link["entry"] if e["resource"]["resourceType"] == "Person"][0]
+    assert person["resource"]["link"][0]["target"]["reference"] == "Patient/pat-1"
+    # patients persisted to the MPI
+    assert spark.read.parquet(str(tmp_path / "mpi")).count() == 2
+
+
+def test_enrich_bundles_null_person_gives_null_bundle(spark):
+    """Possible-grade decisions carry no person; like the reference's
+    `updated_bundle = person and ...`, the enriched bundle is NULL."""
+    from recordlinker_spark.sources.fhir import enrich_bundles
+
+    bundles = spark.createDataFrame(
+        [("d1", _bundle(FULL_PATIENT))], "doc_id string, bundle string"
+    )
+    decisions = spark.createDataFrame(
+        [("d1", "possible", None)],
+        "record_id string, final_grade string, person_id string",
+    )
+    records = spark.createDataFrame(
+        [("d1", "pat-1")], "record_id string, external_id string"
+    )
+    (row,) = enrich_bundles(bundles, decisions, records).collect()
+    assert row["final_grade"] == "possible"
+    assert row["updated_bundle"] is None
