@@ -210,6 +210,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    k: int = 5,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
@@ -223,9 +224,12 @@ def minhash_lsh_pairs(
     (16, 4) whose 4-row bands admit quadratically more false candidates
     as the corpus grows.  Sweep evidence in BENCH_r04 extras.
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        # explicit raise, not assert: asserts vanish under python -O,
+        # which would silently mis-slice the signature into bands
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, num_hashes, seed)
+    sig = minhash_signatures(docs, text_col, num_hashes, seed, k)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -524,8 +528,11 @@ def neardup_keep_best(
             F.length(F.trim(F.col(text_col))), F.lit(0)
         ).alias("_len"),
     )
+    # thread k into candidate generation too: mining candidates from
+    # 5-shingle MinHash but verifying at k-shingle Jaccard would move
+    # the S-curve operating point silently
     cand = minhash_lsh_pairs(
-        docs, text_col, num_hashes, bands, seed, max_bucket_size
+        docs, text_col, num_hashes, bands, seed, max_bucket_size, k
     )
     verified = ngram_jaccard_pairs(docs, cand, text_col, k, jaccard_threshold)
     # connected_components labels with the LEXICOGRAPHIC min id; zero-pad

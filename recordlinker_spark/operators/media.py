@@ -82,7 +82,9 @@ def fetch_payloads(refs: DataFrame, fake: bool = True) -> DataFrame:
                 h = hashlib.sha256(r.encode()).digest()
                 return (h * 8)[:256]  # 256 deterministic bytes per ref
 
-            return ref.map(one)
+            # na_action='ignore': a NULL media_ref yields a NULL payload
+            # instead of None.encode() crashing the task
+            return ref.map(one, na_action="ignore")
 
         return refs.withColumn("payload", fake_fetch(F.col("media_ref")))
 
@@ -94,6 +96,9 @@ def fetch_payloads(refs: DataFrame, fake: bool = True) -> DataFrame:
         for pdf in batches:
             payloads = []
             for r in pdf["media_ref"]:
+                if r is None:
+                    payloads.append(None)
+                    continue
                 path = r[7:] if r.startswith("file://") else r
                 with open(path, "rb") as fh:
                     payloads.append(fh.read())
@@ -253,6 +258,10 @@ def decode_features(
                                 "sample_rate", "channels", "feature")
             }
             for payload in pdf["payload"]:
+                if payload is None:
+                    for c in cols:
+                        cols[c].append(None)
+                    continue
                 payload = bytes(payload)
                 try:
                     decoded = _decode_payload(payload, dim)
@@ -270,10 +279,13 @@ def decode_features(
                             "this container (JPEG/PNG/MP3/video)"
                         )
                     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-                    vec = arr[: (len(arr) // dim) * dim].reshape(-1, dim).mean(axis=0)
+                    if arr.size >= dim:
+                        vec = arr[: (arr.size // dim) * dim].reshape(-1, dim).mean(axis=0)
+                    else:  # short payload: zero-pad, no NaNs from empty mean
+                        vec = np.pad(arr, (0, dim - arr.size))
                     decoded = {
-                        "width": int(arr[0]) + 1,
-                        "height": int(arr[1]) + 1,
+                        "width": (int(arr[0]) + 1) if arr.size > 0 else 1,
+                        "height": (int(arr[1]) + 1) if arr.size > 1 else 1,
                         "feature": (vec / 255.0).tolist(),
                     }
                 for k in cols:

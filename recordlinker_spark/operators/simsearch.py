@@ -40,10 +40,15 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(
+    """Cosine similarity; an all-zero vector gets 0.0 by convention —
+    the unguarded division would throw DIVIDE_BY_ZERO under ANSI mode
+    (Spark 4 default) and poison top-k ranks with NULLs otherwise."""
+    denom = _norm(a) * _norm(b)
+    dot = _dot(
         F.transform(a, lambda x: x.cast("double")),
         F.transform(b, lambda x: x.cast("double")),
-    ) / (_norm(a) * _norm(b))
+    )
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(

@@ -125,7 +125,9 @@ def remove_skip_values(records: DataFrame, skips: tuple[SkipValue, ...]) -> Data
             n["use"].alias("use"),
         )
 
-    cols["name"] = F.transform(F.col("name"), scrub_name)
+    if any(rules.get(a) for a in
+           ("GIVEN_NAME", "FIRST_NAME", "LAST_NAME", "SUFFIX", "NAME")):
+        cols["name"] = F.transform(F.col("name"), scrub_name)
 
     # ---- address: ADDRESS (line[0]) / CITY / STATE / ZIP / COUNTY
     def scrub_address(a: Column) -> Column:
@@ -146,7 +148,9 @@ def remove_skip_values(records: DataFrame, skips: tuple[SkipValue, ...]) -> Data
             scrub_str(a["county"], "COUNTY").alias("county"),
         )
 
-    cols["address"] = F.transform(F.col("address"), scrub_address)
+    if any(rules.get(a) for a in
+           ("ADDRESS", "CITY", "STATE", "ZIP", "COUNTY")):
+        cols["address"] = F.transform(F.col("address"), scrub_address)
 
     # ---- telecom: TELECOM (any) / PHONE / EMAIL (system-gated)
     def scrub_telecom(t: Column) -> Column:
@@ -160,12 +164,17 @@ def remove_skip_values(records: DataFrame, skips: tuple[SkipValue, ...]) -> Data
                 ).otherwise(value)
         return F.struct(value.alias("value"), t["system"].alias("system"))
 
-    cols["telecom"] = F.transform(F.col("telecom"), scrub_telecom)
+    if any(rules.get(a) for a in ("TELECOM", "PHONE", "EMAIL")):
+        cols["telecom"] = F.transform(F.col("telecom"), scrub_telecom)
 
     # ---- race: element removal
     if rules.get("RACE"):
+        # keep NULL elements: ~_matches(NULL) is NULL, which F.filter
+        # would silently drop — the reference's RACE branch only removes
+        # MATCHING values (skip_values.py 'if race and _match')
         cols["race"] = F.filter(
-            F.col("race"), lambda r: ~_matches(r, rules["RACE"])
+            F.col("race"),
+            lambda r: r.isNull() | ~_matches(r, rules["RACE"]),
         )
 
     # ---- identifiers: value='' when "value:authority:type" matches;

@@ -132,7 +132,10 @@ def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFra
     # variable-position substring stay in whole-stage codegen instead
     # of an interpreted HOF lambda (the documented thread-scaling trap);
     # map-side partial min keeps the exchange at ~|docs| rows
-    normed = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    # trim AFTER the whitespace collapse, matching the DuckDB oracle
+    # twin and the dedup normalizer — without it a whitespace-edged
+    # text fingerprints differently across engines
+    normed = F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     ex = (
         docs.select("doc_id", normed.alias("_t"))
         .select(

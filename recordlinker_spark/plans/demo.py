@@ -731,8 +731,10 @@ def oracle_queries() -> dict[str, str]:
         select cast(doc_id as bigint) as doc_id,
                len({_DUCK_TOKENS}) as n_tokens,
                length(trim(text)) as n_chars,
-               cast(coalesce(list_sum([cast(ceil(length(t) / 4.0) as int)
-                         for t in {_DUCK_TOKENS}]), 0) as bigint) as n_subwords
+               case when text is null then null
+                    else cast(coalesce(list_sum([cast(ceil(length(t) / 4.0) as int)
+                              for t in {_DUCK_TOKENS}]), 0) as bigint)
+               end as n_subwords
         from documents
     """
 
@@ -794,7 +796,7 @@ def oracle_queries() -> dict[str, str]:
           from t
         )
         select doc_id,
-          case when greatest(h_en, h_de, h_fr, h_es) = 0 then 'und'
+          case when coalesce(greatest(h_en, h_de, h_fr, h_es), 0) = 0 then 'und'
                when h_en >= h_de and h_en >= h_fr and h_en >= h_es then 'en'
                when h_de >= h_fr and h_de >= h_es then 'de'
                when h_fr >= h_es then 'fr'

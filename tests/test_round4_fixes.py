@@ -219,3 +219,59 @@ def test_subsets_precomputed_matches_discovered(spark):
         assert sorted(map(tuple, discovered.collect())) == sorted(
             map(tuple, pre.collect())
         )
+
+
+def test_race_scrub_keeps_null_elements(spark):
+    """A RACE skip rule removes only MATCHING elements; NULL elements
+    survive (the reference deletes matches, never nulls)."""
+    from recordlinker_spark.config import SkipValue
+    from recordlinker_spark.operators.skipvalues import remove_skip_values
+
+    df = spark.createDataFrame(
+        [("r1", ["WHITE", None, "UNKNOWN"], "1980-01-01", "M")],
+        "record_id string, race array<string>, birth_date string, sex string",
+    )
+    (row,) = remove_skip_values(
+        df, (SkipValue(feature="RACE", values=("unknown",)),)
+    ).collect()
+    assert row["race"] == ["WHITE", None]
+
+
+def test_cosine_zero_vector_is_zero(spark):
+    """An all-zero embedding gets cosine 0.0 instead of a DIVIDE_BY_ZERO
+    under ANSI mode / NULL rank pollution otherwise."""
+    from recordlinker_spark.operators.simsearch import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.filter("vec_id = 0").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    rows = brute_force_topk(corpus, queries, k=3).collect()
+    by_vec = {r["vec_id"]: r["cos"] for r in rows}
+    assert by_vec[1] == 0.0
+    assert by_vec[0] > by_vec[2] > by_vec[1]
+
+
+def test_media_null_ref_and_short_payload(spark):
+    """NULL media_ref -> NULL payload -> NULL feature row; a payload
+    shorter than dim decodes without NaNs."""
+    from recordlinker_spark.operators.media import decode_features, fetch_payloads
+
+    refs = spark.createDataFrame(
+        [("d1", 0, None, "binary")],
+        "doc_id string, media_idx int, media_ref string, media_type string",
+    )
+    (row,) = decode_features(fetch_payloads(refs), dim=4).collect()
+    assert row["feature"] is None and row["width"] is None
+
+    short = spark.createDataFrame(
+        [("d2", 0, "binary", bytearray(b"\x07"))],
+        "doc_id string, media_idx int, media_type string, payload binary",
+    )
+    (r2,) = decode_features(short, dim=4).collect()
+    assert r2["width"] == 8 and r2["height"] == 1
+    assert len(r2["feature"]) == 4
+    assert all(f is not None and 0.0 <= f <= 1.0 for f in r2["feature"])
