@@ -177,21 +177,28 @@ def main() -> None:
     timed("exact_dedup", lambda: demo.q_exact_dedup(spark, SF_DIR).count())
     timed("embedding_topk", lambda: demo.q_embedding_topk(spark, SF_DIR).count())
 
-    # IVF ANN: time it AND report measured recall vs the exact top-k
+    # IVF ANN: time it AND report measured recall vs the exact top-k.
+    # The brute-force ground truth is computed OUTSIDE the timed window
+    # (it is already timed separately as embedding_topk) so the
+    # reported ivf_topk seconds are the ANN query alone.
+    truth_topk = {
+        (r["query_id"], r["vec_id"])
+        for r in demo.q_embedding_topk(spark, SF_DIR).collect()
+    }
+
     def run_ivf():
-        truth = {
-            (r["query_id"], r["vec_id"])
-            for r in demo.q_embedding_topk(spark, SF_DIR).collect()
-        }
         got = {
             (r["query_id"], r["vec_id"])
             for r in demo.q_ivf_topk(spark, SF_DIR).collect()
         }
-        extras["ivf_recall"] = round(len(got & truth) / max(len(truth), 1), 4)
-        # honest cost disclosure: fraction of bucket space probed
-        # (nbits=4, nprobe=12; isotropic test embeddings force a high
-        # probe fraction for recall>=0.9 — see q_ivf_topk docstring)
-        extras["ivf_probe_frac"] = 12 / 16
+        extras["ivf_recall"] = round(
+            len(got & truth_topk) / max(len(truth_topk), 1), 4
+        )
+        # honest cost disclosure: fraction of bucket space probed,
+        # derived from the gate query's actual operating point
+        # (isotropic test embeddings force a high probe fraction for
+        # recall>=0.9 — see q_ivf_topk docstring)
+        extras["ivf_probe_frac"] = demo.IVF_NPROBE / (1 << demo.IVF_NBITS)
 
     timed("ivf_topk", run_ivf)
 
@@ -258,10 +265,7 @@ def main() -> None:
     # token — the Hamming-small regime SimHash targets) + precision of
     # the pigeonhole guarantee (candidates truly within Hamming <= 3).
     def simhash_quality():
-        from recordlinker_spark.operators.dedup import (
-            simhash_buckets,
-            simhash_table,
-        )
+        from recordlinker_spark.operators.dedup import simhash_buckets
 
         docs = (
             spark.read.parquet(f"{SF_DIR}/documents.parquet")

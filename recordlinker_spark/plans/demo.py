@@ -535,6 +535,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_buckets(docs, band_bits=15)
 
 
+# the gate query's ANN operating point — bench.py derives its
+# probe-fraction disclosure from these, so they cannot go stale
+IVF_NBITS, IVF_NPROBE = 4, 12
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-ranked multi-probe bucketed ANN (recall < 1 vs brute force
     by design, but the output itself is deterministic given the seed —
@@ -548,7 +553,8 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(
-        emb, queries, k=5, dim=64, nbits=4, nprobe=12, max_bucket_size=100000
+        emb, queries, k=5, dim=64, nbits=IVF_NBITS, nprobe=IVF_NPROBE,
+        max_bucket_size=100000,
     ).select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 

@@ -36,6 +36,12 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CORPUS_BASE = os.environ.get("SPARK_GRAFT_SCALE_CORPUS", "/tmp/rlspark_scale_corpus")
 MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "executors")
+if MODE not in ("executors", "executors1", "threads"):
+    raise SystemExit(
+        f"unknown SPARK_GRAFT_SCALE_MODE={MODE!r} "
+        "(expected executors | executors1 | threads) — refusing to "
+        "silently fall back to the single-JVM threads protocol"
+    )
 PKG_ZIP = "/tmp/recordlinker_spark_pkg.zip"
 
 RUN_ONE = r"""
@@ -275,7 +281,7 @@ def main() -> None:
             ("4N", f"local-cluster[4,1,{exec_mb}]", 4),
         ]
         desc = "1 executor x 1 core vs 4 executors x 1 core (separate JVMs, --py-files packaging; <=5 of 32 host cores busy, no shared-bus saturation)"
-    else:
+    else:  # MODE == "threads" (validated at import)
         levels = [("N", "local[2]", 2), ("4N", "local[8]", 8)]
         desc = "local[2] vs local[8] single-JVM threads"
 

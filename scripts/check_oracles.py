@@ -1,8 +1,10 @@
 """Local twin of the driver's correctness gate: run every queries()
 entry on Spark and its oracle_sql() twin on DuckDB over the same
 parquet tables; compare row count, column names, and an
-order-insensitive value hash (cells stringified, floats via repr of
-round-trip, rows sorted)."""
+order-insensitive value hash (cells stringified, floats via '%.6g' —
+both engines' float outputs are already rounded to 6 dp inside the
+queries themselves, so the gate compares at the contract precision,
+rows sorted)."""
 
 from __future__ import annotations
 
@@ -71,6 +73,12 @@ def main():
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = sys.argv[1:]
+    unknown = sorted(set(only) - set(queries))
+    if unknown:
+        # a typo'd name would otherwise filter out EVERYTHING and the
+        # gate would print ALL OK having checked nothing
+        raise SystemExit(f"unknown query name(s): {unknown}; "
+                         f"available: {sorted(queries)}")
     failures = []
     for name, fn in queries.items():
         if only and name not in only:

@@ -74,11 +74,36 @@ def load_json(name: str):
 
 
 def load_matched() -> list[dict]:
+    """One aggregate per corpus size, folding ALL independent trials
+    (scaling_matched_<n>.json plus the --tag'd _t2/_t3/... repeats):
+    per-trial efficiencies, their median, and the pooled estimate over
+    every replica wall / coordinated run.  Reading only the untagged
+    file would silently drop the repeat-trial evidence."""
+    import glob
+    import statistics
+
     points = []
     for n in SIZES:
-        p = load_json(f"scaling_matched_{n}.json")
-        if p:
-            points.append(p)
+        paths = sorted(
+            glob.glob(os.path.join(REPO, "BENCH", f"scaling_matched_{n}.json"))
+            + glob.glob(os.path.join(REPO, "BENCH", f"scaling_matched_{n}_t*.json"))
+        )
+        trials = []
+        for path in paths:
+            with open(path) as fh:
+                trials.append(json.load(fh))
+        if not trials:
+            continue
+        repl = [w for t in trials for w in t["replica_walls_all"]]
+        coord = [r for t in trials for r in t["coordinated"]["runs"]]
+        agg = dict(trials[-1])
+        agg["trials"] = trials
+        agg["trial_effs"] = [t["scaling_efficiency"] for t in trials]
+        agg["eff_median"] = round(statistics.median(agg["trial_effs"]), 3)
+        agg["eff_pooled"] = round(
+            statistics.median(repl) / (4 * statistics.median(coord)), 3
+        )
+        points.append(agg)
     return points
 
 
@@ -103,10 +128,23 @@ def main() -> None:
     ]
     if matched and matched[-1]["corpus_persons"] >= 1600000:
         mh = matched[-1]
+        n_tr = len(mh["trial_effs"])
+        effs = " / ".join(str(e) for e in mh["trial_effs"])
+        if n_tr > 1:
+            head_eff = (
+                f"{n_tr} independent end-to-end trials: scaling "
+                f"efficiency {effs} — per-trial median "
+                f"{mh['eff_median']}, pooled "
+                f"({len(mh['trials']) * 8} replica walls, "
+                f"{sum(len(t['coordinated']['runs']) for t in mh['trials'])} "
+                f"coordinated runs) {mh['eff_pooled']}"
+            )
+        else:
+            head_eff = f"scaling efficiency {mh['scaling_efficiency']}"
         md += [
             f"**North-rule measurement — contention-matched protocol, "
-            f"{mh['corpus_persons']:,} persons: scaling efficiency "
-            f"{mh['scaling_efficiency']}** (target >= 0.8; 4 independent "
+            f"{mh['corpus_persons']:,} persons, {head_eff}** "
+            "(target >= 0.8; 4 independent "
             "1-executor replicas vs one 4-executor job on identical "
             "pinned hardware — executor coordination is the only "
             "variable; see the contention-matched section below).",
@@ -225,20 +263,37 @@ def main() -> None:
             "|---|---|---|---|---|",
         ]
         for m in matched:
-            md.append(
-                f"| {m['corpus_persons']:,} | {m['pairs']:,} | "
-                f"{round(m['replica_median_s'], 3)} ({m['replica_walls_all']}) | "
-                f"{m['coordinated']['seconds']} ({m['coordinated']['runs']}) | "
-                f"**{m['scaling_efficiency']}** |")
+            many = len(m["trials"]) > 1
+            for ti, t in enumerate(m["trials"], 1):
+                label = (f"{m['corpus_persons']:,} (trial {ti})"
+                         if many else f"{m['corpus_persons']:,}")
+                md.append(
+                    f"| {label} | {t['pairs']:,} | "
+                    f"{round(t['replica_median_s'], 3)} "
+                    f"({sorted(t['replica_walls_all'])}) | "
+                    f"{t['coordinated']['seconds']} "
+                    f"({t['coordinated']['runs']}) | "
+                    f"**{t['scaling_efficiency']}** |")
         mh = matched[-1]
-        verdict = ("**target met**" if mh["scaling_efficiency"] >= 0.8
+        verdict = ("**target met**" if mh["eff_median"] >= 0.8
                    else "below target")
+        effs = " / ".join(str(e) for e in mh["trial_effs"])
         md += [
             "",
             f"At {mh['corpus_persons']:,} persons the coordinated",
             "4-executor job delivers",
-            f"**{mh['scaling_efficiency']}x of perfect-replication",
-            f"throughput** ({verdict}; target >= 0.8).",
+            f"**{mh['eff_median']}x (per-trial median of"
+            f" {len(mh['trial_effs'])} independent trials: {effs};"
+            f" pooled across all replica walls and coordinated runs:"
+            f" {mh['eff_pooled']}) of perfect-replication",
+            f"throughput** ({verdict}; target >= 0.8).  Each trial is a",
+            "fully independent end-to-end repetition — fresh JVMs, fresh",
+            "caches, its own replica and coordinated runs.  The trial",
+            "spread is driven by the REPLICA baseline (the coordinated",
+            "side is comparatively stable), i.e. the noise sits in the",
+            "perfect-replication denominator, not in the coordinated job",
+            "being measured — the median across trials is the robust",
+            "estimate.",
             "",
             "Like the wide curve, the matched efficiency is a function of",
             "corpus size: both sides pay the same ~constant fixed",
@@ -264,12 +319,27 @@ def main() -> None:
         for g in grids:
             md += [f"At {g['n_persons']:,} persons "
                    f"(total heap {g['total_exec_mb']} MB):", ""]
-            md += ["| split (executors x cores) | wall s (median) | runs | pairs/s |",
-                   "|---|---|---|---|"]
+            md += ["| split (executors x cores) | wall s (median) | "
+                   "wall s (slower run) | runs | pairs/s (median) |",
+                   "|---|---|---|---|---|"]
+            import statistics as _st
             for cfg, r in g["configs"].items():
-                md.append(f"| {cfg} | {r['seconds']} | {r['runs']} | "
-                          f"{r['pairs_per_sec']:,} |")
-            md.append("")
+                # the grid JSON's 'seconds' recorded the SLOWER of its 2
+                # runs (pre-fix index slip); recompute the true median
+                med = round(_st.median(r["runs"]), 3)
+                md.append(f"| {cfg} | {med} | {max(r['runs'])} | "
+                          f"{r['runs']} | "
+                          f"{round(r['pairs'] / med, 1):,} |")
+            md += ["",
+                   "(The grid JSON's per-config `seconds` field recorded "
+                   "the SLOWER of its two runs — a mid-round "
+                   "index-vs-median slip, fixed in "
+                   "`scripts/bench_scaling.py`; the medians above are "
+                   "recomputed from the raw `runs` lists.  Either column "
+                   "tells the same story: more executors at fixed total "
+                   "resources is FASTER, so executor-count overhead is "
+                   "not the scaling limiter.)",
+                   ""]
     if narrow:
         nh = narrow[-1]
         md += [
