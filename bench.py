@@ -38,6 +38,10 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # back-to-back timed queries accumulate unreferenced broadcast /
+        # shuffle / cache blocks faster than the 30-min default cleaner
+        # cycle; same setting the scaling protocol uses
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -47,11 +51,30 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # Each timed query runs REPS times with spark.catalog.clearCache()
+    # between repeats (every repeat recomputes from parquet — no
+    # plan-identity cache hits flattering later runs) and reports the
+    # MEDIAN — one GC/compaction stall on this shared box otherwise
+    # swings a single-shot number 2-3x (measured: the same warm link
+    # pipeline at 9.1s / 13.7s / 35.1s back-to-back).  The cache clear
+    # also stops earlier queries' leaked cached blocks from degrading
+    # later ones inside the one bench session.
+    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
     def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        walls = []
+        out = None
+        for rep in range(REPS):
+            if rep:
+                spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            out = fn()
+            walls.append(time.perf_counter() - t0)
+        walls.sort()
+        timings[name] = round(walls[len(walls) // 2], 3)
+        spark.catalog.clearCache()
+        print(f"# {name}: {timings[name]}s (runs {[round(w, 3) for w in walls]})",
+              file=sys.stderr)
         return out
 
     # warm the JVM, codegen cache, and Python UDF workers outside the
@@ -71,6 +94,27 @@ def main() -> None:
     spark.range(CPUS * 4, numPartitions=CPUS).mapInPandas(
         _warm, "id long"
     ).count()
+
+    # Driver-side Catalyst warm-up: event-log analysis shows the first
+    # executions of the multi-pass link plan spend 13-23s in DRIVER
+    # gaps (analysis/optimization/codegen-compile with a cold JIT) that
+    # decay to ~2s once C2 compiles the planner's hot paths — measured
+    # decay 46/50/30/24/7/7s across identical runs.  One untimed
+    # flagship run at full SF moves the timed reps onto the
+    # steady-state side of that curve (the declared metric; a resident
+    # cluster job plans thousands of batches per JVM lifetime).
+    def _link_once():
+        from recordlinker_spark.operators.linkjob import link_batch
+
+        inc_w = demo.derived_records(spark, SF_DIR, demo.INC_WHERE).drop("person_id")
+        mpi_w = demo.derived_records(spark, SF_DIR)
+        out_w = link_batch(inc_w, mpi_w, demo.demo_algorithm(),
+                           keep_pair_scores=True, cache_intermediate=True)
+        out_w.pair_scores.count(), out_w.decisions.count()
+        spark.catalog.clearCache()
+
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_WARMRUNS", "2"))):
+        _link_once()
 
     # ---- headline: full link pipeline; pairs-scored/sec
     def run_link():
