@@ -236,17 +236,16 @@ def blocked_persons(
                     .groupBy("_sub", "_block")
                     .count()
                 )
-                capped_rows = census.filter(
+                # over-limit keys stay a DataFrame (anti-join, broadcast
+                # hint) rather than a driver collect: their count is
+                # bounded by mpi_count / max_block_size, which can dwarf
+                # the driver at 100 TB even though each row is tiny
+                capped_keys = census.filter(
                     (F.col("count") / F.lit(frac)) > max_block_size
-                ).select("_sub", "_block").collect()
-                if capped_rows:
-                    capped_df = F.broadcast(
-                        spark.createDataFrame(
-                            sorted((r["_sub"], r["_block"]) for r in capped_rows),
-                            "_sub string, _block string",
-                        )
-                    )
-                    build = build.join(capped_df, ["_sub", "_block"], "left_anti")
+                ).select("_sub", "_block")
+                build = build.join(
+                    F.broadcast(capped_keys), ["_sub", "_block"], "left_anti"
+                )
         matched = build.join(F.broadcast(probe), ["_sub", "_block"])
         return matched.select("record_id_l", "person_id").dropDuplicates(
             ["record_id_l", "person_id"]
@@ -270,6 +269,7 @@ def blocked_persons(
     if max_block_size is not None:
         census_trigger = min(census_trigger, max_block_size)
         collect_above = min(collect_above, max_block_size)
+    census = None
     if mpi_count > census_trigger:
         frac = min(1.0, max(census_fraction, 200.0 / census_trigger))
         census = (
@@ -278,28 +278,27 @@ def blocked_persons(
             .count()
             .withColumn("count", (F.col("count") / F.lit(frac)).cast("long"))
         )
-        hot_rows = (
-            census.filter(F.col("count") > collect_above)
-            .orderBy(F.desc("count"))
-            .limit(4096)
-            .collect()
+        # the top-4096 limit bounds only the SALT list (a driver-side
+        # collect; only the hottest blocks need salting).  Capping is
+        # complete: every over-limit block is removed by the anti-join
+        # below, unlimited, so a batch that bails off the broadcast
+        # fast path sees the identical capped candidate set regardless
+        # of how many blocks breach the limit.
+        hot_query = census.filter(F.col("count") > collect_above)
+        if max_block_size is not None:
+            hot_query = hot_query.filter(F.col("count") <= max_block_size)
+        hot_rows = hot_query.orderBy(F.desc("count")).limit(4096).collect()
+    hot = [(r["_sub"], r["_block"]) for r in hot_rows]
+    if census is not None and max_block_size is not None:
+        capped_keys = census.filter(
+            F.col("count") > max_block_size
+        ).select("_sub", "_block")
+        probe = probe.join(
+            F.broadcast(capped_keys), ["_sub", "_block"], "left_anti"
         )
-    capped = {
-        (r["_sub"], r["_block"])
-        for r in hot_rows
-        if max_block_size is not None and r["count"] > max_block_size
-    }
-    hot = [
-        (r["_sub"], r["_block"])
-        for r in hot_rows
-        if (r["_sub"], r["_block"]) not in capped
-    ]
-    if capped:
-        capped_df = F.broadcast(
-            spark.createDataFrame(sorted(capped), "_sub string, _block string")
+        build = build.join(
+            F.broadcast(capped_keys), ["_sub", "_block"], "left_anti"
         )
-        probe = probe.join(capped_df, ["_sub", "_block"], "left_anti")
-        build = build.join(capped_df, ["_sub", "_block"], "left_anti")
 
     if hot:
         hot_df = F.broadcast(

@@ -106,6 +106,7 @@ def connected_components(
     manifest_path = None
     start_iter = 0
     prev = None
+    input_edges = edges
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
         manifest_path = os.path.join(checkpoint_dir, "CC_MANIFEST.jsonl")
@@ -113,8 +114,32 @@ def connected_components(
         if os.path.exists(manifest_path):
             with open(manifest_path) as fh:
                 done = [json.loads(line) for line in fh if line.strip()]
-        if done:
-            last = done[-1]
+        # the "same input edges" precondition is enforced, not assumed:
+        # the manifest's first line fingerprints the normalized input
+        # (count + bit_xor of edge hashes); a resume with DIFFERENT
+        # edges would otherwise silently return the previous run's
+        # components as this input's answer
+        input_lines = [d for d in done if d.get("kind") == "input"]
+        # last one wins: a crash before the first iteration checkpoint
+        # leaves an input line with no state, and a fresh start appends
+        # the new input's fingerprint after it
+        input_line = input_lines[-1] if input_lines else None
+        iters = [d for d in done if "iter" in d]
+        if iters:
+            if input_line is not None:
+                cur_in = checksum(
+                    input_edges.select("src", "dst")
+                    .filter(F.col("src") != F.col("dst"))
+                    .distinct()
+                )
+                if cur_in != (input_line["n"], input_line["h"]):
+                    raise ValueError(
+                        f"checkpoint_dir {checkpoint_dir!r} holds state for "
+                        f"a different edge set (input fingerprint "
+                        f"{(input_line['n'], input_line['h'])} != "
+                        f"{cur_in}); clear the directory or use a new one"
+                    )
+            last = iters[-1]
             edges = spark.read.parquet(last["path"])
             start_iter = last["iter"] + 1
             prev = (last["n"], last["h"])
@@ -126,6 +151,14 @@ def connected_components(
         )
         edges = edges.localCheckpoint(eager=True)
         prev = checksum(edges)
+        if manifest_path is not None:
+            with open(manifest_path, "a") as fh:
+                fh.write(
+                    json.dumps({"kind": "input", "n": prev[0], "h": prev[1]})
+                    + "\n"
+                )
+                fh.flush()
+                os.fsync(fh.fileno())
 
     for i in range(start_iter, max_iterations):
         edges = _small_star(_large_star(edges))

@@ -153,7 +153,25 @@ def _decode_bmp(buf: bytes, dim: int) -> dict:
         height, row_bytes
     )
     if bpp == 8:
-        gray = rows[:, :width].astype(np.float32)
+        # 8-bpp BMP pixels are PALETTE INDICES, not gray levels: the
+        # BGRX color table sits between the info header (biSize bytes
+        # from offset 14) and the pixel data; map each index through
+        # the palette's channel mean (same grayscale convention as the
+        # 24/32-bpp branch) instead of reading indices as intensities
+        bi_size = struct.unpack_from("<I", buf, 14)[0]
+        clr_used = struct.unpack_from("<I", buf, 46)[0] if bi_size >= 36 else 0
+        n_colors = clr_used or 256
+        pal_off = 14 + bi_size
+        pal = np.frombuffer(buf, np.uint8, n_colors * 4, pal_off).reshape(
+            n_colors, 4
+        )
+        pal_gray = pal[:, :3].astype(np.float32).mean(axis=1)
+        idx = rows[:, :width]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError(
+                f"BMP palette index out of range (>= {n_colors} colors)"
+            )
+        gray = pal_gray[idx]
     else:
         nch = bpp // 8
         px = rows[:, : width * nch].reshape(height, width, nch).astype(np.float32)

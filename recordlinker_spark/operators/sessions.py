@@ -27,6 +27,7 @@ order-insensitive within the gap horizon.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Iterable, Iterator
 
 import pandas as pd
@@ -162,6 +163,11 @@ def _sessionize_group(
     uid = key[0]
     out = []
     for s in sessions[:-1]:  # every session but the last has closed
+        # NULL event values arrive as NaN through astype(float); the
+        # batch twin's F.sum skips NULLs (all-NULL -> NULL), so the
+        # kernel must do the same or the twins diverge on the first
+        # null value (NaN would otherwise poison the whole sum)
+        vals = [v for _, v in s if not math.isnan(v)]
         out.append(
             (
                 uid,
@@ -169,7 +175,7 @@ def _sessionize_group(
                 s[0][0] // 1_000_000,
                 s[-1][0] // 1_000_000,
                 len(s),
-                round(sum(v for _, v in s), 6),
+                round(sum(vals), 6) if vals else None,
             )
         )
         next_seq += 1

@@ -123,9 +123,22 @@ class StageRunner:
             os.fsync(fh.fileno())
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.schema(
-            "job_id string, stage string, metric string, value double, ts double"
-        ).json(os.path.join(self.run_dir, "metrics.jsonl"))
+        schema = "job_id string, stage string, metric string, value double, ts double"
+        jsonl = os.path.join(self.run_dir, "metrics.jsonl")
+        parquet_dir = os.path.join(self.run_dir, "metrics")
+        out = None
+        if os.path.exists(jsonl):
+            out = self.spark.read.schema(schema).json(jsonl)
+        # run dirs written before the JSONL switch recorded metrics as
+        # one-row parquet appends under <run>/metrics — a resumed job
+        # must still see those counters (and a mid-upgrade resume sees
+        # both stores, so union rather than either/or)
+        if os.path.exists(parquet_dir):
+            old = self.spark.read.schema(schema).parquet(parquet_dir)
+            out = old if out is None else out.unionByName(old)
+        if out is None:
+            out = self.spark.read.schema(schema).json(jsonl)  # PATH_NOT_FOUND
+        return out
 
 
 def checkpointed_link_job(

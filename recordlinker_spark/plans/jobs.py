@@ -156,18 +156,24 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
     else:
         records = parse_documents(spark.read.parquet(args.documents))
     mpi = _read_mpi_t(spark, target)
-    out = link_batch(records, mpi, _algorithm(args))
+    # cache_intermediate: decisions, the FHIR enrichment, and the MPI
+    # append all consume the same blocking+scoring DAG — without the
+    # cache each writer re-executes the whole pipeline
+    out = link_batch(records, mpi, _algorithm(args), cache_intermediate=True)
     out.decisions.write.mode("overwrite").parquet(args.out)
     if fhir_mode:
         # per-bundle response rows: grade, person, Person-enriched
-        # bundle (NULL when no person, like the reference response)
-        enrich_bundles(bundles, out.decisions, records).write.mode(
-            "overwrite"
-        ).parquet(args.out.rstrip("/") + ".fhir")
+        # bundle (NULL when no person, like the reference response).
+        # Read the decisions back from what was just written — one
+        # pipeline execution feeds both outputs.
+        enrich_bundles(
+            bundles, spark.read.parquet(args.out), records
+        ).write.mode("overwrite").parquet(args.out.rstrip("/") + ".fhir")
     if persist:
         target.append(
             out.new_patients.select(*[f.name for f in MPI_SCHEMA.fields])
         )
+    out.unpersist()
 
 
 def job_cluster(spark: SparkSession, args) -> None:

@@ -15,13 +15,18 @@ joins against it.  applyInPandasWithState would trap the MPI in one
 stream's state store.
 
 Exactly-once: foreachBatch is at-least-once, so idempotence is built
-in two layers — (1) a replay whose records are ALL already in the MPI
-is skipped outright (the batch fully committed before the crash); (2)
-decisions land in a ``run_id=R/batch_id=N`` partition directory (R
-derived from the checkpoint location, since batch ids restart at 0
-per checkpoint) with overwrite,
-so a replay that got past the guard replaces its own partial output
-instead of appending a second copy.  The MPI store ignores duplicate
+in two layers — (1) a replay is skipped outright only when BOTH its
+decisions partition already exists AND all its records are already in
+the MPI (the batch fully committed before the crash); record-presence
+alone is not enough — a genuinely new batch that re-submits
+previously linked records must still be processed; (2) decisions land
+in a ``run_id=R/batch_id=N`` partition directory with overwrite, so a
+replay that got past the guard replaces its own partial output
+instead of appending a second copy.  R is the streaming query id from
+``<checkpoint>/metadata`` — stable across restarts of one checkpoint
+(batch ids restart at 0 per checkpoint), regenerated when the
+checkpoint is wiped, so a reprocess-from-scratch run cannot overwrite
+the previous run's partitions.  The MPI store ignores duplicate
 record_ids (parquet dedup on read; an Iceberg deployment uses MERGE
 for true idempotence).
 """
@@ -46,7 +51,8 @@ class IncrementalLinker:
         mpi_dir: str,
         decisions_dir: str,
         algorithm: Algorithm,
-        run_id: str = "0",
+        run_id: str | None = None,
+        checkpoint_dir: str | None = None,
         **block_kwargs,
     ):
         self.spark = spark
@@ -54,10 +60,47 @@ class IncrementalLinker:
         self.decisions_dir = decisions_dir
         self.algorithm = algorithm
         # batch_id restarts at 0 for every new checkpoint location, so
-        # the idempotent decision slot must be (run_id, batch_id) — the
-        # caller derives run_id from the checkpoint dir
-        self.run_id = run_id
+        # the idempotent decision slot must be (run_id, batch_id);
+        # resolved lazily from <checkpoint>/metadata on the first batch
+        # (the file exists once the query has started)
+        self._run_id = run_id
+        self.checkpoint_dir = checkpoint_dir
         self.block_kwargs = block_kwargs
+
+    @property
+    def run_id(self) -> str:
+        if self._run_id is None:
+            self._run_id = self._resolve_run_id()
+        return self._run_id
+
+    def _resolve_run_id(self) -> str:
+        """Streaming query id from the checkpoint's metadata file.
+
+        Spark writes ``<checkpoint>/metadata`` = ``{"id": "<uuid>"}``
+        at query start: the id survives restarts of the same
+        checkpoint but is regenerated when the checkpoint directory is
+        wiped — exactly the run identity the decision partitions need.
+        A hash of the checkpoint PATH (the previous scheme) collides
+        across a wipe-and-reprocess at the same path, and batch ids
+        restart at 0, so the new run would overwrite the old run's
+        partitions."""
+        import hashlib
+        import json
+
+        from pyspark.errors import AnalysisException
+
+        if not self.checkpoint_dir:
+            return "0"
+        try:
+            rows = self.spark.read.text(
+                self.checkpoint_dir.rstrip("/") + "/metadata"
+            ).collect()
+            qid = json.loads("".join(r["value"] for r in rows)).get("id")
+            if qid:
+                return str(qid)
+        except (AnalysisException, ValueError):
+            pass  # pre-start construction or a foreign metadata layout
+        return hashlib.md5(self.checkpoint_dir.encode()).hexdigest()[:12]
 
     def current_mpi(self) -> DataFrame:
         from pyspark.errors import AnalysisException
@@ -81,16 +124,42 @@ class IncrementalLinker:
                 return self.spark.createDataFrame([], MPI_SCHEMA)
             raise
 
+    def _batch_dir(self, batch_id: int) -> str:
+        return (
+            f"{self.decisions_dir.rstrip('/')}"
+            f"/run_id={self.run_id}/batch_id={batch_id}"
+        )
+
+    def _decisions_exist(self, batch_id: int) -> bool:
+        from pyspark.errors import AnalysisException
+
+        try:
+            self.spark.read.parquet(self._batch_dir(batch_id))
+            return True
+        except AnalysisException as exc:
+            get_cond = getattr(exc, "getCondition", None) or getattr(
+                exc, "getErrorClass", lambda: None
+            )
+            cond = get_cond() or ""
+            if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
+                return False
+            raise
+
     def __call__(self, batch_docs: DataFrame, batch_id: int) -> None:
         if batch_docs.isEmpty():
             return
         records = parse_documents(batch_docs.select("doc_id", "spans"))
         mpi = self.current_mpi()
-        # restart replay guard: foreachBatch is at-least-once — if every
-        # record of this batch is already in the MPI, the batch fully
-        # committed before a crash, so re-linking it (now against an MPI
-        # containing its own records) would emit contradictory decisions
-        if (
+        # restart replay guard: foreachBatch is at-least-once — skip
+        # only when BOTH this (run_id, batch_id)'s decisions were
+        # already written AND every record is already in the MPI (the
+        # batch fully committed before a crash; re-linking it against
+        # an MPI containing its own records would emit contradictory
+        # decisions).  Record-presence alone is NOT a replay signal: a
+        # genuinely new batch that re-submits previously linked records
+        # lands at a fresh batch_id with no decisions partition, and
+        # must be processed like any POST /link of known records.
+        if self._decisions_exist(batch_id) and (
             batch_docs.select(F.col("doc_id").alias("record_id"))
             .join(mpi.select("record_id"), "record_id", "left_anti")
             .isEmpty()
@@ -101,10 +170,7 @@ class IncrementalLinker:
         # a replay that got past the guard (crash between the two
         # writes) REPLACES its own partial output instead of appending a
         # second copy; readers see batch_id as a partition column
-        out.decisions.write.mode("overwrite").parquet(
-            f"{self.decisions_dir.rstrip('/')}"
-            f"/run_id={self.run_id}/batch_id={batch_id}"
-        )
+        out.decisions.write.mode("overwrite").parquet(self._batch_dir(batch_id))
         out.new_patients.select(*[f.name for f in MPI_SCHEMA.fields]).write.mode(
             "append"
         ).parquet(self.mpi_dir)
@@ -130,11 +196,9 @@ def link_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    import hashlib
-
-    run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
     sink = IncrementalLinker(
-        spark, mpi_dir, decisions_dir, algorithm, run_id=run_id, **block_kwargs
+        spark, mpi_dir, decisions_dir, algorithm,
+        checkpoint_dir=checkpoint_dir, **block_kwargs
     )
     return (
         stream.writeStream.foreachBatch(sink)

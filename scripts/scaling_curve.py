@@ -135,7 +135,8 @@ def main() -> None:
                 f"{n_tr} independent end-to-end trials: scaling "
                 f"efficiency {effs} — per-trial median "
                 f"{mh['eff_median']}, pooled "
-                f"({len(mh['trials']) * 8} replica walls, "
+                f"({sum(len(t['replica_walls_all']) for t in mh['trials'])}"
+                f" replica walls, "
                 f"{sum(len(t['coordinated']['runs']) for t in mh['trials'])} "
                 f"coordinated runs) {mh['eff_pooled']}"
             )

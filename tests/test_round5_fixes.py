@@ -1,0 +1,247 @@
+"""Regression tests for the round-5 review fixes: CC checkpoint input
+fingerprinting, streaming run identity + replay-vs-resubmission guard,
+sessionize NULL-value parity, complete block capping on both join
+paths, palettized-BMP decode, and metrics-store migration fallback."""
+
+import json
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures_patients import SIX_PATIENTS
+from recordlinker_spark.config import dibbs_default
+from recordlinker_spark.schemas import DOCUMENTS_SCHEMA
+from recordlinker_spark.sources.spandoc import docs_to_rows
+
+
+# ---------------------------------------------------------------- CC
+def test_cc_resume_rejects_different_input(spark, tmp_path):
+    """connected_components(checkpoint_dir=D) fingerprints its input:
+    resuming D with a DIFFERENT edge set must raise, not silently
+    return the previous input's components."""
+    from recordlinker_spark.operators.cluster import connected_components
+
+    d = str(tmp_path / "cc")
+    e1 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    lab1 = {r["record_id"]: r["component"]
+            for r in connected_components(e1, checkpoint_dir=d).collect()}
+    assert lab1["c"] == "a" and lab1["y"] == "x"
+
+    e2 = spark.createDataFrame([("p", "q")], "src string, dst string")
+    with pytest.raises(ValueError, match="different edge set"):
+        connected_components(e2, checkpoint_dir=d)
+
+    # same input resumes cleanly from the converged state
+    lab1b = {r["record_id"]: r["component"]
+             for r in connected_components(e1, checkpoint_dir=d).collect()}
+    assert lab1b == lab1
+
+
+# --------------------------------------------------------- streaming
+def _batch(spark, ids, patients):
+    return spark.createDataFrame(
+        docs_to_rows([(i, p, []) for i, p in zip(ids, patients)]),
+        DOCUMENTS_SCHEMA,
+    )
+
+
+def test_resubmission_batch_is_processed(spark, tmp_path):
+    """A genuinely NEW batch whose records are all already in the MPI
+    (a re-submission — the reference links every POST /link) must emit
+    decisions; only a true replay (same run_id/batch_id, decisions
+    already written, records in MPI) is skipped."""
+    from recordlinker_spark.streaming.incremental import IncrementalLinker
+
+    mpi_dir = str(tmp_path / "mpi")
+    dec_dir = str(tmp_path / "dec")
+    sink = IncrementalLinker(spark, mpi_dir, dec_dir, dibbs_default())
+    ids = [f"r{i}" for i in range(3)]
+    sink(_batch(spark, ids, SIX_PATIENTS[:3]), 0)
+    dec = spark.read.parquet(dec_dir)
+    assert dec.filter(F.col("batch_id") == 0).count() == 3
+
+    # resubmit the SAME records as a NEW batch id -> must be linked
+    sink(_batch(spark, ids, SIX_PATIENTS[:3]), 1)
+    dec = spark.read.parquet(dec_dir)
+    assert dec.filter(F.col("batch_id") == 1).count() == 3
+    # each resubmitted record matches its own prior instance
+    assert (
+        dec.filter(
+            (F.col("batch_id") == 1) & (F.col("final_grade") == "certain")
+        ).count()
+        == 3
+    )
+
+    # a true replay of batch 1 is still skipped (no duplicate MPI rows)
+    n_mpi = spark.read.parquet(mpi_dir).count()
+    sink(_batch(spark, ids, SIX_PATIENTS[:3]), 1)
+    assert spark.read.parquet(mpi_dir).count() == n_mpi
+
+
+def test_run_id_comes_from_checkpoint_metadata(spark, tmp_path):
+    """run_id must be the streaming query id (regenerated when the
+    checkpoint is wiped), not a hash of the checkpoint PATH — a
+    wipe-and-reprocess at the same path would otherwise overwrite the
+    previous run's decision partitions."""
+    from recordlinker_spark.streaming.incremental import IncrementalLinker
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "metadata").write_text(json.dumps({"id": "run-A-uuid"}))
+    sink = IncrementalLinker(
+        spark, str(tmp_path / "mpi"), str(tmp_path / "dec"),
+        dibbs_default(), checkpoint_dir=str(ckpt),
+    )
+    assert sink.run_id == "run-A-uuid"
+
+    # wipe + restart: new metadata id -> new run identity at same path
+    (ckpt / "metadata").write_text(json.dumps({"id": "run-B-uuid"}))
+    sink2 = IncrementalLinker(
+        spark, str(tmp_path / "mpi"), str(tmp_path / "dec"),
+        dibbs_default(), checkpoint_dir=str(ckpt),
+    )
+    assert sink2.run_id == "run-B-uuid"
+
+
+# -------------------------------------------------------- sessionize
+class _FakeState:
+    exists = False
+
+    def update(self, v):
+        self.val = v
+
+
+def test_sessionize_kernel_null_values_match_batch_twin(spark):
+    """NULL event values arrive in the kernel as NaN; the batch twin's
+    F.sum skips NULLs (all-NULL -> NULL), so the kernel must skip NaN
+    and emit None for an all-null session — not a NaN-poisoned sum."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from recordlinker_spark.operators.sessions import (
+        _sessionize_group,
+        sessionize,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # session 1: values [1.0, NULL] -> sum 1.0
+        (0, t0, 1, "a", 1.0, None),
+        (1, t0 + dt.timedelta(minutes=5), 1, "a", None, None),
+        # session 2 (after 31-min gap): all NULL -> sum NULL
+        (2, t0 + dt.timedelta(minutes=36), 1, "a", None, None),
+        # session 3 closes session 2 and stays open
+        (3, t0 + dt.timedelta(minutes=70), 1, "a", 9.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    batch = {r["session_seq"]: r["sum_value"]
+             for r in sessionize(ev, gap_minutes=30.0).collect()}
+    assert batch[1] == 1.0 and batch[2] is None
+
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime([r[1] for r in rows]),
+        "value": pd.array([r[4] for r in rows], dtype="float64"),
+    })
+    (out,) = _sessionize_group((1,), [pdf], _FakeState(), 30 * 60_000_000)
+    got = dict(zip(out["session_seq"], out["sum_value"]))
+    assert got[1] == 1.0
+    assert got[2] is None or (isinstance(got[2], float) and pd.isna(got[2]))
+    # the poisoned implementation returned NaN for session 1 too
+    assert not pd.isna(got[1])
+
+
+# ----------------------------------------------------------- blocking
+def test_block_cap_is_complete_beyond_salt_list(spark):
+    """max_block_size must cap EVERY over-limit block on the salted
+    path, not just the top-4096 census rows: with ~5k over-limit
+    blocks, both paths must return zero candidates."""
+    from recordlinker_spark.operators.blocking import blocked_persons
+
+    n_blocks = 4600
+    empty = F.array().cast("array<string>")
+    mpi = spark.range(n_blocks * 3).select(
+        F.concat(F.lit("m"), F.col("id")).alias("record_id"),
+        F.concat(F.lit("p"), F.col("id")).alias("person_id"),
+        F.array(F.concat(F.lit("b"), (F.col("id") % n_blocks))).alias(
+            "bk_BIRTHDATE"
+        ),
+        empty.alias("bk_IDENTIFIER"),
+        empty.alias("bk_SEX"),
+    )
+    inc = spark.range(n_blocks).select(
+        F.concat(F.lit("i"), F.col("id")).alias("record_id"),
+        F.array(F.concat(F.lit("b"), F.col("id"))).alias("bk_BIRTHDATE"),
+        empty.alias("bk_IDENTIFIER"),
+        empty.alias("bk_SEX"),
+    )
+    alg = dibbs_default()
+    ap = alg.passes[0]
+    kw = dict(
+        algorithm=alg, algorithm_pass=ap,
+        subsets=[("BIRTHDATE",)], max_block_size=2,
+        census_fraction=1.0, salt_threshold=4,
+    )
+    # force the salted path, then the broadcast path; both must agree
+    salted = blocked_persons(inc, mpi, broadcast_probe_rows=0, **kw)
+    assert salted.count() == 0
+    bcast = blocked_persons(inc, mpi, broadcast_probe_rows=10**6, **kw)
+    assert bcast.count() == 0
+
+
+# -------------------------------------------------------------- media
+def _bmp8(width, height, palette_gray, pixel):
+    """Minimal 8-bpp palettized BMP: every palette entry maps index i
+    to gray level palette_gray(i)."""
+    row_bytes = (width + 3) // 4 * 4
+    pal = b"".join(
+        struct.pack("<BBBB", palette_gray(i), palette_gray(i),
+                    palette_gray(i), 0)
+        for i in range(256)
+    )
+    px = b"".join(
+        bytes(pixel(x, y) for x in range(width)).ljust(row_bytes, b"\0")
+        for y in range(height - 1, -1, -1)  # bottom-up
+    )
+    off = 14 + 40 + len(pal)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+                       len(px), 2835, 2835, 256, 0)
+    return hdr + info + pal + px
+
+
+def test_bmp8_uses_palette_not_indices():
+    """8-bpp BMP pixels are palette indices: with an INVERTED palette
+    (index 0 -> white, 255 -> black) an all-zero image must decode as
+    white (1.0), which the index-as-gray bug read as black (0.0)."""
+    from recordlinker_spark.operators.media import _decode_bmp
+
+    buf = _bmp8(6, 4, lambda i: 255 - i, lambda x, y: 0)
+    out = _decode_bmp(buf, dim=4)
+    assert (out["width"], out["height"]) == (6, 4)
+    assert all(abs(f - 1.0) < 1e-6 for f in out["feature"])
+
+
+# ------------------------------------------------------------ metrics
+def test_metrics_reads_pre_jsonl_parquet_store(spark, tmp_path):
+    """A run dir written before the JSONL switch holds metrics as
+    parquet under <run>/metrics; metrics() must still surface those
+    rows (and union them with new JSONL rows)."""
+    from recordlinker_spark.plans.checkpoint import StageRunner
+
+    run_dir = str(tmp_path / "run")
+    spark.createDataFrame(
+        [("job", "s1", "rows", 7.0, 1.0)],
+        "job_id string, stage string, metric string, value double, ts double",
+    ).write.parquet(f"{run_dir}/metrics")
+    r = StageRunner(spark, run_dir)
+    assert r.metrics().count() == 1
+    r.metric("s2", "rows", 3.0)
+    got = {(x["stage"], x["value"]) for x in r.metrics().collect()}
+    assert got == {("s1", 7.0), ("s2", 3.0)}
