@@ -278,6 +278,17 @@ def blocked_persons(
             .count()
             .withColumn("count", (F.col("count") / F.lit(frac)).cast("long"))
         )
+        if max_block_size is not None:
+            # materialize ONCE: the hot collect below and the capped
+            # anti-joins all read this census.  Without it the sampled
+            # census is lazily re-evaluated inside the final action —
+            # sample() is only deterministic for stable partition
+            # contents, so an uncached shuffled MPI could yield a
+            # DIFFERENT census there, letting a block land in the salt
+            # list by one estimate and be anti-joined out by the other
+            # (silently dropping its candidates) — and the widest scan
+            # of the pass would run 3x instead of once.
+            census = census.localCheckpoint(eager=True)
         # the top-4096 limit bounds only the SALT list (a driver-side
         # collect; only the hottest blocks need salting).  Capping is
         # complete: every over-limit block is removed by the anti-join

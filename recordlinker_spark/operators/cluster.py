@@ -126,19 +126,27 @@ def connected_components(
         input_line = input_lines[-1] if input_lines else None
         iters = [d for d in done if "iter" in d]
         if iters:
-            if input_line is not None:
-                cur_in = checksum(
-                    input_edges.select("src", "dst")
-                    .filter(F.col("src") != F.col("dst"))
-                    .distinct()
+            if input_line is None:
+                # a manifest with state but no input fingerprint can't
+                # be validated — refusing beats silently returning some
+                # other input's components
+                raise ValueError(
+                    f"checkpoint_dir {checkpoint_dir!r} has iteration "
+                    "state but no input fingerprint (written by an "
+                    "older version?); clear the directory to restart"
                 )
-                if cur_in != (input_line["n"], input_line["h"]):
-                    raise ValueError(
-                        f"checkpoint_dir {checkpoint_dir!r} holds state for "
-                        f"a different edge set (input fingerprint "
-                        f"{(input_line['n'], input_line['h'])} != "
-                        f"{cur_in}); clear the directory or use a new one"
-                    )
+            cur_in = checksum(
+                input_edges.select("src", "dst")
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+            )
+            if cur_in != (input_line["n"], input_line["h"]):
+                raise ValueError(
+                    f"checkpoint_dir {checkpoint_dir!r} holds state for "
+                    f"a different edge set (input fingerprint "
+                    f"{(input_line['n'], input_line['h'])} != "
+                    f"{cur_in}); clear the directory or use a new one"
+                )
             last = iters[-1]
             edges = spark.read.parquet(last["path"])
             start_iter = last["iter"] + 1

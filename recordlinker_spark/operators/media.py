@@ -160,8 +160,13 @@ def _decode_bmp(buf: bytes, dim: int) -> dict:
         # 24/32-bpp branch) instead of reading indices as intensities
         bi_size = struct.unpack_from("<I", buf, 14)[0]
         clr_used = struct.unpack_from("<I", buf, 46)[0] if bi_size >= 36 else 0
-        n_colors = clr_used or 256
         pal_off = 14 + bi_size
+        # some encoders write a short color table with biClrUsed=0; the
+        # pixel-data offset bounds the true table size, so never read
+        # pixel bytes as palette entries
+        n_colors = min(clr_used or 256, max((offset - pal_off) // 4, 0))
+        if n_colors <= 0:
+            raise ValueError("8-bpp BMP with no color table")
         pal = np.frombuffer(buf, np.uint8, n_colors * 4, pal_off).reshape(
             n_colors, 4
         )

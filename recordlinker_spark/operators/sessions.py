@@ -166,7 +166,13 @@ def _sessionize_group(
         # NULL event values arrive as NaN through astype(float); the
         # batch twin's F.sum skips NULLs (all-NULL -> NULL), so the
         # kernel must do the same or the twins diverge on the first
-        # null value (NaN would otherwise poison the whole sum)
+        # null value (NaN would otherwise poison the whole sum).
+        # Known limit: Arrow hands the kernel float64 ndarrays, which
+        # fold SQL NULL and a literal double NaN into the same NaN —
+        # the kernel treats both as NULL, while the batch twin's F.sum
+        # propagates a literal NaN.  Distinguishing them would need a
+        # sidecar isnull column; not worth it for a sentinel value no
+        # event source emits deliberately.
         vals = [v for _, v in s if not math.isnan(v)]
         out.append(
             (

@@ -39,6 +39,15 @@ def test_cc_resume_rejects_different_input(spark, tmp_path):
              for r in connected_components(e1, checkpoint_dir=d).collect()}
     assert lab1b == lab1
 
+    # a legacy manifest (iteration state, no input fingerprint) cannot
+    # be validated -> refuse rather than silently resume
+    mf = f"{d}/CC_MANIFEST.jsonl"
+    lines = [ln for ln in open(mf) if '"input"' not in ln]
+    with open(mf, "w") as fh:
+        fh.writelines(lines)
+    with pytest.raises(ValueError, match="no input fingerprint"):
+        connected_components(e1, checkpoint_dir=d)
+
 
 # --------------------------------------------------------- streaming
 def _batch(spark, ids, patients):
@@ -196,14 +205,16 @@ def test_block_cap_is_complete_beyond_salt_list(spark):
 
 
 # -------------------------------------------------------------- media
-def _bmp8(width, height, palette_gray, pixel):
+def _bmp8(width, height, palette_gray, pixel, n_colors=256):
     """Minimal 8-bpp palettized BMP: every palette entry maps index i
-    to gray level palette_gray(i)."""
+    to gray level palette_gray(i).  ``n_colors < 256`` writes a short
+    color table while leaving biClrUsed = 0 (a spec-bending encoder
+    habit; the pixel-data offset reveals the true table size)."""
     row_bytes = (width + 3) // 4 * 4
     pal = b"".join(
         struct.pack("<BBBB", palette_gray(i), palette_gray(i),
                     palette_gray(i), 0)
-        for i in range(256)
+        for i in range(n_colors)
     )
     px = b"".join(
         bytes(pixel(x, y) for x in range(width)).ljust(row_bytes, b"\0")
@@ -212,7 +223,7 @@ def _bmp8(width, height, palette_gray, pixel):
     off = 14 + 40 + len(pal)
     hdr = struct.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
-                       len(px), 2835, 2835, 256, 0)
+                       len(px), 2835, 2835, 0, 0)
     return hdr + info + pal + px
 
 
@@ -226,6 +237,22 @@ def test_bmp8_uses_palette_not_indices():
     out = _decode_bmp(buf, dim=4)
     assert (out["width"], out["height"]) == (6, 4)
     assert all(abs(f - 1.0) < 1e-6 for f in out["feature"])
+
+
+def test_bmp8_short_palette_bounded_by_pixel_offset():
+    """A short color table with biClrUsed=0: the pixel-data offset
+    bounds the true table size, so in-range indices decode correctly
+    and out-of-range indices raise instead of reading pixel bytes as
+    palette entries."""
+    from recordlinker_spark.operators.media import _decode_bmp
+
+    ok = _bmp8(4, 2, lambda i: 255 - i, lambda x, y: 15, n_colors=16)
+    out = _decode_bmp(ok, dim=2)
+    assert all(abs(f - 240.0 / 255.0) < 1e-6 for f in out["feature"])
+
+    bad = _bmp8(4, 2, lambda i: 0, lambda x, y: 16, n_colors=16)
+    with pytest.raises(ValueError, match="palette index out of range"):
+        _decode_bmp(bad, dim=2)
 
 
 # ------------------------------------------------------------ metrics
