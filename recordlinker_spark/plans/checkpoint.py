@@ -137,7 +137,10 @@ class StageRunner:
             old = self.spark.read.schema(schema).parquet(parquet_dir)
             out = old if out is None else out.unionByName(old)
         if out is None:
-            out = self.spark.read.schema(schema).json(jsonl)  # PATH_NOT_FOUND
+            raise FileNotFoundError(
+                f"no metrics recorded under {self.run_dir!r} "
+                f"(neither {jsonl} nor {parquet_dir})"
+            )
         return out
 
 

@@ -83,11 +83,9 @@ def _read_mpi(spark: SparkSession, path: str) -> DataFrame:
         # outage — must propagate: silently linking against an empty
         # MPI would append every incoming record as a brand-new patient
         # (same rationale as the catalog branch in _read_mpi_t).
-        get_cond = getattr(exc, "getCondition", None) or getattr(
-            exc, "getErrorClass", lambda: None
-        )  # getCondition supersedes getErrorClass (Spark 4)
-        cond = get_cond() or ""
-        if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
+        from recordlinker_spark.errors import is_missing_path
+
+        if is_missing_path(exc):
             return spark.createDataFrame([], MPI_SCHEMA)
         raise
 
@@ -112,11 +110,9 @@ def _read_mpi_t(spark: SparkSession, target: TableTarget) -> DataFrame:
             # record as a brand-new patient (mass duplication).  The
             # reference's DB layer likewise raises on session failures
             # (src/recordlinker/database/__init__.py).
-            get_cond = getattr(exc, "getCondition", None) or getattr(
-                exc, "getErrorClass", lambda: None
-            )  # getCondition supersedes getErrorClass (Spark 4)
-            cond = get_cond() or ""
-            if "TABLE_OR_VIEW_NOT_FOUND" in cond or "TABLE_OR_VIEW_NOT_FOUND" in str(exc):
+            from recordlinker_spark.errors import is_missing_table
+
+            if is_missing_table(exc):
                 return spark.createDataFrame([], MPI_SCHEMA)
             raise
     return _read_mpi(spark, target.ident)
@@ -156,10 +152,14 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
     else:
         records = parse_documents(spark.read.parquet(args.documents))
     mpi = _read_mpi_t(spark, target)
-    # cache_intermediate: decisions, the FHIR enrichment, and the MPI
-    # append all consume the same blocking+scoring DAG — without the
-    # cache each writer re-executes the whole pipeline
-    out = link_batch(records, mpi, _algorithm(args), cache_intermediate=True)
+    # cache_intermediate only when a SECOND consumer of the
+    # blocking+scoring DAG exists (the MPI append and/or the FHIR
+    # enrichment's records join); a match dry-run writes decisions once
+    # and would pay the cache for nothing
+    out = link_batch(
+        records, mpi, _algorithm(args),
+        cache_intermediate=persist or fhir_mode,
+    )
     out.decisions.write.mode("overwrite").parquet(args.out)
     if fhir_mode:
         # per-bundle response rows: grade, person, Person-enriched

@@ -54,17 +54,12 @@ class TableTarget:
         if self.catalog:
             from pyspark.errors import AnalysisException
 
+            from recordlinker_spark.errors import is_missing_table
+
             try:
                 df.writeTo(self.ident).append()
             except AnalysisException as exc:
-                get_cond = getattr(exc, "getCondition", None) or getattr(
-                    exc, "getErrorClass", lambda: None
-                )  # getCondition supersedes getErrorClass (Spark 4)
-                cond = get_cond() or ""
-                if (
-                    "TABLE_OR_VIEW_NOT_FOUND" not in cond
-                    and "TABLE_OR_VIEW_NOT_FOUND" not in str(exc)
-                ):
+                if not is_missing_table(exc):
                     raise
                 df.writeTo(self.ident).using("iceberg").create()
         else:

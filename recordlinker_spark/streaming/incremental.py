@@ -70,10 +70,24 @@ class IncrementalLinker:
     @property
     def run_id(self) -> str:
         if self._run_id is None:
-            self._run_id = self._resolve_run_id()
+            resolved = self._resolve_run_id()
+            if resolved is None:
+                # metadata not written yet (query not started): fall
+                # back for THIS access but do NOT cache it — caching
+                # the fallback pre-start would split one checkpoint's
+                # batches across two run_id partitions
+                return self._fallback_run_id()
+            self._run_id = resolved
         return self._run_id
 
-    def _resolve_run_id(self) -> str:
+    def _fallback_run_id(self) -> str:
+        import hashlib
+
+        if not self.checkpoint_dir:
+            return "0"
+        return hashlib.md5(self.checkpoint_dir.encode()).hexdigest()[:12]
+
+    def _resolve_run_id(self) -> str | None:
         """Streaming query id from the checkpoint's metadata file.
 
         Spark writes ``<checkpoint>/metadata`` = ``{"id": "<uuid>"}``
@@ -83,8 +97,8 @@ class IncrementalLinker:
         A hash of the checkpoint PATH (the previous scheme) collides
         across a wipe-and-reprocess at the same path, and batch ids
         restart at 0, so the new run would overwrite the old run's
-        partitions."""
-        import hashlib
+        partitions.  Returns None when the metadata isn't readable
+        (query not started yet / foreign layout)."""
         import json
 
         from pyspark.errors import AnalysisException
@@ -95,12 +109,13 @@ class IncrementalLinker:
             rows = self.spark.read.text(
                 self.checkpoint_dir.rstrip("/") + "/metadata"
             ).collect()
-            qid = json.loads("".join(r["value"] for r in rows)).get("id")
+            meta = json.loads("".join(r["value"] for r in rows))
+            qid = meta.get("id") if isinstance(meta, dict) else None
             if qid:
                 return str(qid)
         except (AnalysisException, ValueError):
             pass  # pre-start construction or a foreign metadata layout
-        return hashlib.md5(self.checkpoint_dir.encode()).hexdigest()[:12]
+        return None
 
     def current_mpi(self) -> DataFrame:
         from pyspark.errors import AnalysisException
@@ -116,11 +131,9 @@ class IncrementalLinker:
                 .dropDuplicates(["record_id"])
             )
         except AnalysisException as exc:
-            get_cond = getattr(exc, "getCondition", None) or getattr(
-                exc, "getErrorClass", lambda: None
-            )  # getCondition supersedes getErrorClass (Spark 4)
-            cond = get_cond() or ""
-            if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
+            from recordlinker_spark.errors import is_missing_path
+
+            if is_missing_path(exc):
                 return self.spark.createDataFrame([], MPI_SCHEMA)
             raise
 
@@ -130,20 +143,38 @@ class IncrementalLinker:
             f"/run_id={self.run_id}/batch_id={batch_id}"
         )
 
-    def _decisions_exist(self, batch_id: int) -> bool:
+    def _committed_at(self, path: str) -> bool:
         from pyspark.errors import AnalysisException
 
+        from recordlinker_spark.errors import is_missing_path
+
         try:
-            self.spark.read.parquet(self._batch_dir(batch_id))
+            self.spark.read.parquet(path)
             return True
         except AnalysisException as exc:
-            get_cond = getattr(exc, "getCondition", None) or getattr(
-                exc, "getErrorClass", lambda: None
-            )
-            cond = get_cond() or ""
-            if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
+            # is_missing_path also classifies UNABLE_TO_INFER_SCHEMA as
+            # "nothing committed": a crash mid-write leaves the dir with
+            # only _temporary/, and re-raising here would wedge the
+            # stream in exactly the state the overwrite recovery exists
+            # for (every restart re-hits the same exception)
+            if is_missing_path(exc):
                 return False
             raise
+
+    def _decisions_exist(self, batch_id: int) -> bool:
+        if self._committed_at(self._batch_dir(batch_id)):
+            return True
+        # migration probe: decisions written by the previous run-id
+        # scheme (md5 of the checkpoint PATH) live under the legacy
+        # partition — a pending replay from before the upgrade must
+        # still be recognized as committed
+        legacy = self._fallback_run_id()
+        if legacy != self.run_id:
+            return self._committed_at(
+                f"{self.decisions_dir.rstrip('/')}"
+                f"/run_id={legacy}/batch_id={batch_id}"
+            )
+        return False
 
     def __call__(self, batch_docs: DataFrame, batch_id: int) -> None:
         if batch_docs.isEmpty():
@@ -166,14 +197,24 @@ class IncrementalLinker:
         ):
             return
         out = link_batch(records, mpi, self.algorithm, **self.block_kwargs)
-        # decisions land in a batch-scoped partition dir with overwrite:
-        # a replay that got past the guard (crash between the two
-        # writes) REPLACES its own partial output instead of appending a
-        # second copy; readers see batch_id as a partition column
-        out.decisions.write.mode("overwrite").parquet(self._batch_dir(batch_id))
-        out.new_patients.select(*[f.name for f in MPI_SCHEMA.fields]).write.mode(
-            "append"
-        ).parquet(self.mpi_dir)
+        try:
+            # decisions land in a batch-scoped partition dir with
+            # overwrite: a replay that got past the guard (crash between
+            # the two writes) REPLACES its own partial output instead of
+            # appending a second copy; readers see batch_id as a
+            # partition column
+            out.decisions.write.mode("overwrite").parquet(
+                self._batch_dir(batch_id)
+            )
+            out.new_patients.select(
+                *[f.name for f in MPI_SCHEMA.fields]
+            ).write.mode("append").parquet(self.mpi_dir)
+        finally:
+            # the sink is the longest-running loop caller of link_batch:
+            # without the release every micro-batch leaks its cached
+            # projections (the MPI-side ones grow with the MPI) into the
+            # block manager for the stream's lifetime
+            out.unpersist()
 
 
 def link_stream(

@@ -115,6 +115,65 @@ def test_run_id_comes_from_checkpoint_metadata(spark, tmp_path):
     assert sink2.run_id == "run-B-uuid"
 
 
+def test_partial_decisions_dir_does_not_wedge_the_stream(spark, tmp_path):
+    """A crash mid decisions-write leaves run_id=R/batch_id=N with only
+    _temporary/ (no visible part files): the replay probe must treat
+    that as 'nothing committed' and let the overwrite recovery run —
+    re-raising UNABLE_TO_INFER_SCHEMA would fail every restart until a
+    human deletes the partial directory."""
+    import os
+
+    from recordlinker_spark.streaming.incremental import IncrementalLinker
+
+    mpi_dir = str(tmp_path / "mpi")
+    dec_dir = str(tmp_path / "dec")
+    sink = IncrementalLinker(spark, mpi_dir, dec_dir, dibbs_default())
+    os.makedirs(f"{dec_dir}/run_id=0/batch_id=0/_temporary/0")
+    sink(_batch(spark, ["r0", "r1"], SIX_PATIENTS[:2]), 0)
+    dec = spark.read.parquet(dec_dir)
+    assert dec.filter(F.col("batch_id") == 0).count() == 2
+
+
+def test_legacy_md5_run_id_partitions_still_count_as_committed(
+    spark, tmp_path
+):
+    """Decisions written by the previous run-id scheme (md5 of the
+    checkpoint PATH) must still satisfy the replay guard after the
+    query-id upgrade, or a pending pre-upgrade replay is re-linked
+    against an MPI containing its own records."""
+    import hashlib
+
+    from recordlinker_spark.streaming.incremental import IncrementalLinker
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    mpi_dir = str(tmp_path / "mpi")
+    dec_dir = str(tmp_path / "dec")
+    # old process: run_id was md5(path) (no metadata file yet)
+    old = IncrementalLinker(
+        spark, mpi_dir, dec_dir, dibbs_default(), checkpoint_dir=str(ckpt)
+    )
+    assert old.run_id == hashlib.md5(str(ckpt).encode()).hexdigest()[:12]
+    batch = _batch(spark, ["r0", "r1"], SIX_PATIENTS[:2])
+    old(batch, 0)
+    n_mpi = spark.read.parquet(mpi_dir).count()
+    # upgraded restart: metadata now exists, run_id becomes the uuid;
+    # the replay of committed batch 0 must still be SKIPPED
+    (ckpt / "metadata").write_text(json.dumps({"id": "uuid-after-upgrade"}))
+    new = IncrementalLinker(
+        spark, mpi_dir, dec_dir, dibbs_default(), checkpoint_dir=str(ckpt)
+    )
+    assert new.run_id == "uuid-after-upgrade"
+    new(batch, 0)
+    assert spark.read.parquet(mpi_dir).count() == n_mpi
+    assert (
+        spark.read.parquet(dec_dir)
+        .filter(F.col("run_id") == "uuid-after-upgrade")
+        .count()
+        == 0
+    )
+
+
 # -------------------------------------------------------- sessionize
 class _FakeState:
     exists = False
