@@ -289,7 +289,12 @@ def main() -> None:
             f" {mh['eff_pooled']}) of perfect-replication",
             f"throughput** ({verdict}; target >= 0.8).  Each trial is a",
             "fully independent end-to-end repetition — fresh JVMs, fresh",
-            "caches, its own replica and coordinated runs.  The trial",
+            "caches, its own replica and coordinated runs.  Trials span",
+            "sandbox re-provisions, so ABSOLUTE walls are not comparable",
+            "across trials (e.g. trial 5's coordinated median 222s vs",
+            "trial 4's 282s reflects a faster host); each trial's",
+            "efficiency is a within-trial ratio of runs on the same host",
+            "minutes apart, which the re-provision cannot skew.  The trial",
             "spread is driven by the REPLICA baseline (the coordinated",
             "side is comparatively stable), i.e. the noise sits in the",
             "perfect-replication denominator, not in the coordinated job",
