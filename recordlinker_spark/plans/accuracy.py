@@ -25,6 +25,7 @@ predicted by its pair grade.
 from __future__ import annotations
 
 import dataclasses
+import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,11 +63,19 @@ def csv_row_to_pii(row: dict) -> dict:
 
 
 def load_labeled_records(
-    spark: SparkSession, csv_path: str, id_prefix: str
+    spark: SparkSession, csv_path: str, id_prefix: str,
+    today: datetime.date | None = None,
 ) -> DataFrame:
     """CSV -> parsed pii records + ``match_id`` (+ ``expected`` when the
     CSV carries Expected Result). Encodes through span documents so the
-    full ingest path is exercised."""
+    full ingest path is exercised.
+
+    :param today: pins the birthdate parser's clock.  The reference's
+        own validator (schemas/pii.py:423 ``parse(str(value), ...)``)
+        fills MISSING date components from the day it runs — a
+        year-month birthdate like better_test.csv's ``1964-10`` parses
+        to a different day every day — so exact confusion counts are
+        only reproducible with a pinned clock, here as there."""
     import csv as _csv
 
     with open(csv_path, newline="", encoding="utf-8") as fh:
@@ -85,7 +94,8 @@ def load_labeled_records(
             (rid, mid, (row.get("Expected Result") or "").strip() or None)
         )
     records = parse_documents(
-        spark.createDataFrame(docs_to_rows(docs), DOCUMENTS_SCHEMA)
+        spark.createDataFrame(docs_to_rows(docs), DOCUMENTS_SCHEMA),
+        today=today,
     )
     meta_df = spark.createDataFrame(
         meta, "record_id string, match_id string, expected string"
@@ -116,10 +126,11 @@ def run_accuracy(
     seed_csv: str,
     test_csv: str,
     algorithm: Algorithm | None = None,
+    today: datetime.date | None = None,
 ) -> AccuracyReport:
     algorithm = algorithm or dibbs_default()
-    seed = load_labeled_records(spark, seed_csv, "s")
-    test = load_labeled_records(spark, test_csv, "t")
+    seed = load_labeled_records(spark, seed_csv, "s", today=today)
+    test = load_labeled_records(spark, test_csv, "t", today=today)
 
     mpi = seed.withColumn("person_id", F.col("match_id")).drop(
         "match_id", "expected"

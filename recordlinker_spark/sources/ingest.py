@@ -241,12 +241,16 @@ def _make_birthdate_udf(today: datetime.date | None = None):
         info = PivotInfo()
         upper = datetime.datetime(pinned.year, pinned.month, pinned.day, 23, 59, 59)
         lower = datetime.datetime(1850, 1, 1)
+        # pin the missing-component fill too (see _make_birthdate_parser:
+        # without an explicit default, dateutil takes it from the real
+        # wall clock and the pin does not actually pin partial dates)
+        fill = datetime.datetime(pinned.year, pinned.month, pinned.day)
 
         def one(v):
             if v is None or not str(v).strip():
                 return None
             try:
-                d = parse(str(v), info)
+                d = parse(str(v), info, default=fill)
             except (ValueError, OverflowError):
                 return None
             if d > upper or d < lower:
@@ -479,12 +483,21 @@ def _make_birthdate_parser(today: datetime.date | None = None):
     info = PivotInfo()
     upper = datetime.datetime(pinned.year, pinned.month, pinned.day, 23, 59, 59)
     lower = datetime.datetime(1850, 1, 1)
+    # dateutil fills MISSING date components from ``default`` — and with
+    # no default, from the real wall clock no matter what ``today`` pin
+    # the caller gave (the parserinfo only governs 2-digit years).  The
+    # reference (schemas/pii.py:423, bare ``parse``) therefore gives a
+    # partial birthdate like nbs_test.csv's ``1964-10`` a different day
+    # every day it runs; threading the pin through ``default`` makes a
+    # pinned clock pin the whole parse.  With ``today=None`` both
+    # behaviors coincide (default == the real today), preserving parity.
+    fill = datetime.datetime(pinned.year, pinned.month, pinned.day)
 
     def one(v):
         if v is None or not str(v).strip():
             return None
         try:
-            d = parse(str(v), info)
+            d = parse(str(v), info, default=fill)
         except (ValueError, OverflowError):
             return None
         if d > upper or d < lower:
