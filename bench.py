@@ -59,7 +59,7 @@ def main() -> None:
     # pipeline at 9.1s / 13.7s / 35.1s back-to-back).  The cache clear
     # also stops earlier queries' leaked cached blocks from degrading
     # later ones inside the one bench session.
-    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     def timed(name: str, fn):
         walls = []
@@ -71,7 +71,9 @@ def main() -> None:
             out = fn()
             walls.append(time.perf_counter() - t0)
         walls.sort()
-        timings[name] = round(walls[len(walls) // 2], 3)
+        # lower median for even rep counts: len//2 would report the MAX
+        # of two runs, i.e. the outlier the median is there to discard
+        timings[name] = round(walls[(len(walls) - 1) // 2], 3)
         spark.catalog.clearCache()
         print(f"# {name}: {timings[name]}s (runs {[round(w, 3) for w in walls]})",
               file=sys.stderr)

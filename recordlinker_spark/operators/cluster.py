@@ -102,6 +102,17 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
+    def normalized(df: DataFrame) -> DataFrame:
+        # ONE definition for both the fingerprint-write and the
+        # resume-validation paths: the two checksums must be computed
+        # over byte-identical normalizations or every resume with the
+        # same input would be rejected as "a different edge set"
+        return (
+            df.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
     spark = edges.sparkSession
     manifest_path = None
     start_iter = 0
@@ -135,11 +146,7 @@ def connected_components(
                     "state but no input fingerprint (written by an "
                     "older version?); clear the directory to restart"
                 )
-            cur_in = checksum(
-                input_edges.select("src", "dst")
-                .filter(F.col("src") != F.col("dst"))
-                .distinct()
-            )
+            cur_in = checksum(normalized(input_edges))
             if cur_in != (input_line["n"], input_line["h"]):
                 raise ValueError(
                     f"checkpoint_dir {checkpoint_dir!r} holds state for "
@@ -152,12 +159,7 @@ def connected_components(
             start_iter = last["iter"] + 1
             prev = (last["n"], last["h"])
     if prev is None:
-        edges = (
-            edges.select("src", "dst")
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-        )
-        edges = edges.localCheckpoint(eager=True)
+        edges = normalized(edges).localCheckpoint(eager=True)
         prev = checksum(edges)
         if manifest_path is not None:
             with open(manifest_path, "a") as fh:

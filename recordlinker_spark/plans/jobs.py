@@ -160,20 +160,26 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
         records, mpi, _algorithm(args),
         cache_intermediate=persist or fhir_mode,
     )
-    out.decisions.write.mode("overwrite").parquet(args.out)
-    if fhir_mode:
-        # per-bundle response rows: grade, person, Person-enriched
-        # bundle (NULL when no person, like the reference response).
-        # Read the decisions back from what was just written — one
-        # pipeline execution feeds both outputs.
-        enrich_bundles(
-            bundles, spark.read.parquet(args.out), records
-        ).write.mode("overwrite").parquet(args.out.rstrip("/") + ".fhir")
-    if persist:
-        target.append(
-            out.new_patients.select(*[f.name for f in MPI_SCHEMA.fields])
-        )
-    out.unpersist()
+    try:
+        out.decisions.write.mode("overwrite").parquet(args.out)
+        if fhir_mode:
+            # per-bundle response rows: grade, person, Person-enriched
+            # bundle (NULL when no person, like the reference response).
+            # Read the decisions back from what was just written — one
+            # pipeline execution feeds both outputs.
+            enrich_bundles(
+                bundles, spark.read.parquet(args.out), records
+            ).write.mode("overwrite").parquet(args.out.rstrip("/") + ".fhir")
+        if persist:
+            target.append(
+                out.new_patients.select(*[f.name for f in MPI_SCHEMA.fields])
+            )
+    finally:
+        # release even when a write raises: a long-lived driver that
+        # catches and retries would otherwise accumulate cached
+        # MPI-sized projections per attempt (same rationale as the
+        # streaming sink's finally in streaming/incremental.py)
+        out.unpersist()
 
 
 def job_cluster(spark: SparkSession, args) -> None:

@@ -53,6 +53,7 @@ class IncrementalLinker:
         algorithm: Algorithm,
         run_id: str | None = None,
         checkpoint_dir: str | None = None,
+        gc_every: int = 64,
         **block_kwargs,
     ):
         self.spark = spark
@@ -65,6 +66,10 @@ class IncrementalLinker:
         # (the file exists once the query has started)
         self._run_id = run_id
         self.checkpoint_dir = checkpoint_dir
+        # cadence for the explicit JVM-GC nudge (see __call__); <= 0
+        # disables it
+        self.gc_every = gc_every
+        self._batches_since_gc = 0
         self.block_kwargs = block_kwargs
 
     @property
@@ -162,19 +167,21 @@ class IncrementalLinker:
             raise
 
     def _decisions_exist(self, batch_id: int) -> bool:
-        if self._committed_at(self._batch_dir(batch_id)):
-            return True
-        # migration probe: decisions written by the previous run-id
-        # scheme (md5 of the checkpoint PATH) live under the legacy
-        # partition — a pending replay from before the upgrade must
-        # still be recognized as committed
-        legacy = self._fallback_run_id()
-        if legacy != self.run_id:
-            return self._committed_at(
-                f"{self.decisions_dir.rstrip('/')}"
-                f"/run_id={legacy}/batch_id={batch_id}"
-            )
-        return False
+        # Only THIS run's partition counts as committed.  A probe of the
+        # legacy md5-of-path partition (the pre-query-id scheme) was
+        # tried here and removed: it made every batch of a
+        # wipe-and-reprocess at the same path look like a committed
+        # replay (legacy partitions linger for batch 0..N, the records
+        # are all in the MPI), so the whole reprocess silently emitted
+        # zero decisions — data loss, violating the resubmission
+        # invariant above.  The case the probe covered — an in-place
+        # upgrade replaying the one batch that committed decisions+MPI
+        # but not the checkpoint — is already tolerated by design: the
+        # replay re-links records against an MPI that contains them,
+        # yielding consistent self-match decisions under the new run_id
+        # and duplicate MPI rows the store dedups on read.  One
+        # tolerated duplicate batch beats unbounded silent skips.
+        return self._committed_at(self._batch_dir(batch_id))
 
     def __call__(self, batch_docs: DataFrame, batch_id: int) -> None:
         if batch_docs.isEmpty():
@@ -215,6 +222,19 @@ class IncrementalLinker:
             # projections (the MPI-side ones grow with the MPI) into the
             # block manager for the stream's lifetime
             out.unpersist()
+            # unpersist() can't reach everything: the salted blocking
+            # path localCheckpoints its sampled census
+            # (operators/blocking.py), and checkpoint blocks are only
+            # reclaimed by the ContextCleaner after a JVM GC notices the
+            # dropped reference — by default a 30-minute periodic cycle,
+            # during which thousands of micro-batches can each park a
+            # census RDD in the block manager.  Nudge the collector on a
+            # bounded cadence instead (the same mechanism
+            # spark.cleaner.periodicGC.interval uses).
+            self._batches_since_gc += 1
+            if self.gc_every > 0 and self._batches_since_gc >= self.gc_every:
+                self._batches_since_gc = 0
+                self.spark.sparkContext._jvm.System.gc()
 
 
 def link_stream(

@@ -134,13 +134,13 @@ def test_partial_decisions_dir_does_not_wedge_the_stream(spark, tmp_path):
     assert dec.filter(F.col("batch_id") == 0).count() == 2
 
 
-def test_legacy_md5_run_id_partitions_still_count_as_committed(
-    spark, tmp_path
-):
-    """Decisions written by the previous run-id scheme (md5 of the
-    checkpoint PATH) must still satisfy the replay guard after the
-    query-id upgrade, or a pending pre-upgrade replay is re-linked
-    against an MPI containing its own records."""
+def test_wipe_and_reprocess_ignores_other_runs_partitions(spark, tmp_path):
+    """A wipe-and-reprocess at the same path must PROCESS its batches
+    even though partitions from the previous run (here: the legacy
+    md5-of-path scheme) linger for the same batch ids and the records
+    are all in the MPI — only the CURRENT run_id's partition counts as
+    committed.  (A legacy-partition probe was removed here: it turned
+    every reprocessed batch into a silent skip — data loss.)"""
     import hashlib
 
     from recordlinker_spark.streaming.incremental import IncrementalLinker
@@ -156,22 +156,24 @@ def test_legacy_md5_run_id_partitions_still_count_as_committed(
     assert old.run_id == hashlib.md5(str(ckpt).encode()).hexdigest()[:12]
     batch = _batch(spark, ["r0", "r1"], SIX_PATIENTS[:2])
     old(batch, 0)
-    n_mpi = spark.read.parquet(mpi_dir).count()
-    # upgraded restart: metadata now exists, run_id becomes the uuid;
-    # the replay of committed batch 0 must still be SKIPPED
-    (ckpt / "metadata").write_text(json.dumps({"id": "uuid-after-upgrade"}))
+    # operator wipes the checkpoint to reprocess; Spark assigns a fresh
+    # query id; batch ids restart at 0 while the legacy partitions and
+    # the MPI rows from the first run are still on disk
+    (ckpt / "metadata").write_text(json.dumps({"id": "uuid-after-wipe"}))
     new = IncrementalLinker(
         spark, mpi_dir, dec_dir, dibbs_default(), checkpoint_dir=str(ckpt)
     )
-    assert new.run_id == "uuid-after-upgrade"
+    assert new.run_id == "uuid-after-wipe"
     new(batch, 0)
-    assert spark.read.parquet(mpi_dir).count() == n_mpi
-    assert (
-        spark.read.parquet(dec_dir)
-        .filter(F.col("run_id") == "uuid-after-upgrade")
-        .count()
-        == 0
+    dec = spark.read.parquet(dec_dir).filter(
+        F.col("run_id") == "uuid-after-wipe"
     )
+    # the reprocess EMITS decisions, and they are consistent: each
+    # record certainly-matches the person it already belongs to
+    assert dec.count() == 2
+    assert {r["final_grade"] for r in dec.collect()} == {"certain"}
+    # the MPI store stays consistent under dedup-on-read
+    assert new.current_mpi().count() == 2
 
 
 # -------------------------------------------------------- sessionize
