@@ -102,6 +102,32 @@ class StageRunner:
         return out
 
     # ------------------------------------------------------------------
+    def side_effect(self, name: str, fn: typing.Callable[[], None]) -> bool:
+        """Run a non-DataFrame side effect (e.g. an MPI append) once per
+        run: skipped on resume when the manifest already marks it
+        complete.  A crash in the window between the effect and the
+        manifest fsync replays it on resume — at-least-once, so effects
+        routed here must be tolerable under replay (the MPI store dedups
+        record_ids on read).  Returns True when the effect ran."""
+        if self.completed(name):
+            return False
+        t0 = time.perf_counter()
+        fn()
+        rec = {
+            "job_id": self.job_id,
+            "stage": name,
+            "status": "complete",
+            "kind": "side_effect",
+            "seconds": round(time.perf_counter() - t0, 3),
+            "lineage": sorted(self._done),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        self._append_manifest(rec)
+        self._done[name] = rec
+        self.metric(name, "seconds", rec["seconds"])
+        return True
+
+    # ------------------------------------------------------------------
     def metric(self, stage: str, metric: str, value: float) -> None:
         """A9: append one metrics row.  Counters are DRIVER-known values
         (names, counts, seconds), so they are recorded driver-side as

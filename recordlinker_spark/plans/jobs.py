@@ -131,6 +131,19 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
 
     target = _mpi_target(args)
     fhir_mode = bool(getattr(args, "fhir", False))
+    run_dir = getattr(args, "run_dir", None)
+    if run_dir:
+        # north-rule resumability from the CLI surface: route through
+        # the stage-checkpointed pipeline so a driver restart with the
+        # same --run-dir resumes after the last complete stage instead
+        # of recomputing the whole job
+        if fhir_mode:
+            raise ValueError(
+                "--run-dir and --fhir are mutually exclusive: bundle "
+                "enrichment is not stage-checkpointed"
+            )
+        _job_link_checkpointed(spark, args, target, run_dir, persist)
+        return
     if fhir_mode:
         # batch analog of POST /link/fhir (link_router.py:90-122):
         # --documents is a directory of FHIR bundle JSON files, one
@@ -180,6 +193,45 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
         # MPI-sized projections per attempt (same rationale as the
         # streaming sink's finally in streaming/incremental.py)
         out.unpersist()
+
+
+def _job_link_checkpointed(
+    spark: SparkSession, args, target: TableTarget, run_dir: str,
+    persist: bool,
+) -> None:
+    """link/match with --run-dir: every pipeline stage checkpointed to
+    the run directory with per-partition lineage + metrics
+    (plans/checkpoint.py); the MPI append is an at-most-once-per-run
+    side-effect stage (replay-tolerable: the store dedups record_ids
+    on read)."""
+    from recordlinker_spark.plans.checkpoint import (
+        StageRunner,
+        checkpointed_link_job,
+    )
+
+    docs = spark.read.parquet(args.documents)
+    mpi = _read_mpi_t(spark, target)
+    decisions = checkpointed_link_job(
+        spark, docs, mpi, _algorithm(args), run_dir
+    )
+    decisions.drop("_part_id").write.mode("overwrite").parquet(args.out)
+    if persist:
+        runner = StageRunner(spark, run_dir)
+
+        def append_new_patients():
+            import os
+
+            records = spark.read.parquet(
+                os.path.join(run_dir, "ingest")
+            ).drop("_part_id")
+            new_patients = records.join(
+                decisions.select("record_id", "person_id"), "record_id"
+            )
+            target.append(
+                new_patients.select(*[f.name for f in MPI_SCHEMA.fields])
+            )
+
+        runner.side_effect("mpi_append", append_new_patients)
 
 
 def job_cluster(spark: SparkSession, args) -> None:
@@ -478,6 +530,14 @@ def main(argv: list[str] | None = None) -> None:
             "--catalog",
             action="store_true",
             help="treat --mpi as an Iceberg table identifier (writeTo path)",
+        )
+        sp.add_argument(
+            "--run-dir",
+            dest="run_dir",
+            help="link/match: stage-checkpoint the pipeline to this "
+            "directory; re-running with the same --run-dir resumes "
+            "after the last complete stage (manifest + per-partition "
+            "lineage + metrics)",
         )
         sp.add_argument(
             "--fhir",

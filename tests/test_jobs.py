@@ -294,3 +294,51 @@ def test_tune_manifest(spark, tmp_path):
     assert m["status"] == "completed"
     assert m["results"]["log_odds"] and m["finished_at"]
     assert json.load(open(out)) == m["results"]
+
+
+def test_link_job_run_dir_checkpoints_and_resumes(spark, tmp_path):
+    """--run-dir routes the CLI link job through the stage-checkpointed
+    pipeline: first run writes per-stage parquet + manifest + the MPI
+    append marker; a re-run with the same run_dir resumes (reads the
+    checkpoints, appends nothing twice)."""
+    docs_dir = str(tmp_path / "docs")
+    labels_dir = str(tmp_path / "labels")
+    mpi_dir = str(tmp_path / "mpi")
+    out_dir = str(tmp_path / "decisions")
+    run_dir = str(tmp_path / "run")
+
+    seeded = [SIX_PATIENTS[0], SIX_PATIENTS[2]]
+    spark.createDataFrame(
+        docs_to_rows([(f"r{i}", p, []) for i, p in enumerate(seeded)]),
+        DOCUMENTS_SCHEMA,
+    ).write.parquet(docs_dir)
+    spark.createDataFrame(
+        [(f"r{i}", f"p{i}") for i in range(2)],
+        "record_id string, person_id string",
+    ).write.parquet(labels_dir)
+    jobs.job_seed(spark, A(documents=docs_dir, labels=labels_dir, mpi=mpi_dir))
+
+    link_docs = str(tmp_path / "link_docs")
+    spark.createDataFrame(
+        docs_to_rows([("x1", SIX_PATIENTS[1], [])]), DOCUMENTS_SCHEMA
+    ).write.parquet(link_docs)
+
+    args = dict(documents=link_docs, mpi=mpi_dir, out=out_dir, run_dir=run_dir)
+    jobs.job_link(spark, A(**args))
+    dec = spark.read.parquet(out_dir).collect()
+    assert len(dec) == 1 and dec[0]["final_grade"] == "certain"
+    assert dec[0]["person_id"] == "p0"
+    assert spark.read.parquet(mpi_dir).count() == 3
+
+    with open(f"{run_dir}/MANIFEST.jsonl") as fh:
+        stages = [json.loads(line)["stage"] for line in fh if line.strip()]
+    assert "ingest" in stages and "decisions" in stages
+    assert stages.count("mpi_append") == 1
+
+    # resume: no stage re-runs, no second MPI append
+    jobs.job_link(spark, A(**args))
+    assert spark.read.parquet(mpi_dir).count() == 3
+    with open(f"{run_dir}/MANIFEST.jsonl") as fh:
+        stages = [json.loads(line)["stage"] for line in fh if line.strip()]
+    assert stages.count("mpi_append") == 1
+    assert stages.count("decisions") == 1
