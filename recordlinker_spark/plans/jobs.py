@@ -435,6 +435,15 @@ def job_update(spark: SparkSession, args) -> None:
       record_id is not in the MPI are ignored (PATCH, not upsert).
     * ``--record-ids`` + ``--person-id``: repoint those patients to the
       given person.
+    * ``--record-ids`` alone: POST /person analog
+      (person_router.py:66-84 create_person) — mint a new person and
+      move those patients into it; the minted id is reported.
+    * ``--person-ids`` + ``--person-id``: POST /person/{id}/merge
+      analog (person_router.py:184-230 merge_person_clusters) —
+      repoint every patient whose person is in the source list to the
+      target person (the source clusters become empty; the persons
+      registry, when used, is cleaned by job_orphans / job_delete,
+      mirroring the route's delete_person_clusters=False default).
     """
     target = _mpi_target(args)
     mpi = _read_mpi_t(spark, target)
@@ -450,15 +459,38 @@ def job_update(spark: SparkSession, args) -> None:
             )
         )
         mpi = _read_mpi_t(spark, target)
-    if getattr(args, "record_ids", None) and getattr(args, "person_id", None):
+    if getattr(args, "record_ids", None):
         ids = [s for s in args.record_ids.split(",") if s]
+        person_id = getattr(args, "person_id", None)
+        if person_id is None:
+            # mint deterministically from the sorted member set, same
+            # scheme as decide's new-person labels (md5, "p-" prefix)
+            import hashlib
+
+            digest = hashlib.md5(
+                ("person:" + ",".join(sorted(ids))).encode()
+            ).hexdigest()
+            person_id = f"p-{digest}"
+            report["person_created"] = person_id
         report["patients_repointed"] = mpi.filter(
             F.col("record_id").isin(ids)
         ).count()
         moved = F.when(
-            F.col("record_id").isin(ids), F.lit(args.person_id)
+            F.col("record_id").isin(ids), F.lit(person_id)
         ).otherwise(F.col("person_id"))
         target.overwrite(mpi.withColumn("person_id", moved))
+        mpi = _read_mpi_t(spark, target)
+    if getattr(args, "person_ids", None) and getattr(args, "person_id", None):
+        src = [s for s in args.person_ids.split(",") if s]
+        tgt = args.person_id
+        merged = F.when(
+            F.col("person_id").isin(src), F.lit(tgt)
+        ).otherwise(F.col("person_id"))
+        report["patients_merged"] = mpi.filter(
+            F.col("person_id").isin(src)
+        ).count()
+        report["persons_merged_into"] = tgt
+        target.overwrite(mpi.withColumn("person_id", merged))
     print(json.dumps(report))
 
 

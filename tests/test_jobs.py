@@ -342,3 +342,42 @@ def test_link_job_run_dir_checkpoints_and_resumes(spark, tmp_path):
         stages = [json.loads(line)["stage"] for line in fh if line.strip()]
     assert stages.count("mpi_append") == 1
     assert stages.count("decisions") == 1
+
+
+def test_update_person_merge_and_create(spark, tmp_path, capsys):
+    """person_router parity: POST /person (mint a new person for given
+    patients) and POST /person/{id}/merge (repoint all patients of the
+    source clusters to the target)."""
+    mpi_dir = str(tmp_path / "mpi")
+    docs = [(f"r{i}", p, []) for i, p in enumerate(SIX_PATIENTS[:4])]
+    spark.createDataFrame(docs_to_rows(docs), DOCUMENTS_SCHEMA).write.parquet(
+        str(tmp_path / "docs")
+    )
+    from recordlinker_spark.sources.ingest import parse_documents
+
+    records = parse_documents(spark.read.parquet(str(tmp_path / "docs")))
+    labels = spark.createDataFrame(
+        [("r0", "p0"), ("r1", "p0"), ("r2", "p1"), ("r3", "p2")],
+        "record_id string, person_id string",
+    )
+    records.join(labels, "record_id").write.parquet(mpi_dir)
+
+    # merge p1 and p2 into p0 -> every patient lands in p0
+    jobs.job_update(spark, A(mpi=mpi_dir, person_ids="p1,p2", person_id="p0"))
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["patients_merged"] == 2
+    rows = {r["record_id"]: r["person_id"] for r in spark.read.parquet(mpi_dir).collect()}
+    assert set(rows.values()) == {"p0"}
+
+    # create: split r2,r3 out into a freshly minted person
+    jobs.job_update(spark, A(mpi=mpi_dir, record_ids="r2,r3"))
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    minted = report["person_created"]
+    assert minted.startswith("p-") and report["patients_repointed"] == 2
+    rows = {r["record_id"]: r["person_id"] for r in spark.read.parquet(mpi_dir).collect()}
+    assert rows["r2"] == minted and rows["r3"] == minted
+    assert rows["r0"] == "p0" and rows["r1"] == "p0"
+    # deterministic mint: same member set -> same id
+    jobs.job_update(spark, A(mpi=mpi_dir, record_ids="r3,r2"))
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["person_created"] == minted
