@@ -14,20 +14,28 @@ arrives more than ``gap`` later).
 Scale notes (batch): one shuffle keyed user_id for the window; the
 session groupBy reuses that partitioning (no second exchange), and the
 running-sum window is bounded by per-user event counts — the same
-skew profile as any per-user analysis.  Streaming: state is one small
-struct per user (open-session event arrays), hash-partitioned by user
-across executors; per-batch work is a vectorized pandas pass over that
+skew profile as any per-user analysis.  Streaming: state is one FIXED
+SIZE struct per user (seq + the open session's interval and running
+aggregates — NOT its events, so a never-quiet user costs O(1) state
+no matter how long its session runs), hash-partitioned by user across
+executors; per-batch work is a vectorized pandas pass over that
 user's new rows.  Arrival order ACROSS micro-batches must be
 non-decreasing per user (the file/Kafka-partition-time norm); rows
-within a batch may be arbitrarily ordered (sorted in the kernel), and
-a batch row older than the open session's end merges into it
-retroactively — state + batch are re-sorted together, so the kernel is
-order-insensitive within the gap horizon.
+within a batch may be arbitrarily ordered, and a batch row older than
+the open session's end merges into it retroactively — adding events
+can only extend or fill a session, never split it, so interval-merge
+over (state ∪ batch) reproduces the full-event-list semantics with
+scalar state.
+
+Schema columns are fixed (``user_id, ts, value`` + ``event_id``
+tiebreak in the batch window) — rename upstream with ``select`` if
+your frame differs.
 """
 
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any, Iterable, Iterator
 
 import pandas as pd
@@ -35,7 +43,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -54,54 +61,55 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
-#: open-session state per user: next session ordinal + the open
-#: session's event times (epoch micros) and values
+#: open-session state per user — FIXED width: next session ordinal +
+#: the open session's interval and running aggregates.  (A previous
+#: layout stored the open session's full event arrays; a never-quiet
+#: user grew it without bound.  Resuming a checkpoint written by that
+#: layout fails loudly on the state-schema mismatch — wipe and
+#: reprocess.)
 _STATE_SCHEMA = StructType(
     [
         StructField("seq", LongType()),
-        StructField("ts_us", ArrayType(LongType())),
-        StructField("vals", ArrayType(DoubleType())),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_nonnull", LongType()),
+        StructField("sum_value", DoubleType()),
     ]
 )
 
 
-def sessionize(
-    events: DataFrame,
-    gap_minutes: float = 30.0,
-    ts_col: str = "ts",
-    user_col: str = "user_id",
-    value_col: str = "value",
-) -> DataFrame:
+def sessionize(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
     """Batch sessionization: ``user_id, session_seq, session_start,
     session_end, n_events, sum_value`` (epochs floored to seconds, sums
     rounded to 6 — the oracle-comparison convention).
 
     lag -> new-session flag -> running sum = session ordinal, then one
     groupBy; ties broken by event_id so the plan is deterministic."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = int(gap_minutes * 60 * 1_000_000)
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev_us = F.lag(us).over(w)
     new_s = F.when(
         prev_us.isNull() | (us - prev_us > gap_us), F.lit(1)
     ).otherwise(F.lit(0))
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged = (
-        events.filter(F.col(ts_col).isNotNull())
+        events.filter(F.col("ts").isNotNull())
         .withColumn("_new", new_s)
         .withColumn("session_seq", F.sum("_new").over(run))
     )
     return (
-        tagged.groupBy(F.col(user_col).alias("user_id"), "session_seq")
+        tagged.groupBy("user_id", "session_seq")
         .agg(
-            F.min(F.unix_timestamp(F.col(ts_col).cast("timestamp"))).alias(
+            F.min(F.unix_timestamp(F.col("ts").cast("timestamp"))).alias(
                 "session_start"
             ),
-            F.max(F.unix_timestamp(F.col(ts_col).cast("timestamp"))).alias(
+            F.max(F.unix_timestamp(F.col("ts").cast("timestamp"))).alias(
                 "session_end"
             ),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -111,6 +119,18 @@ def sessionize(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def _round6(v: float) -> float:
+    """Spark-parity rounding: ``F.round(x, 6)`` is HALF_UP over the
+    double's shortest decimal representation (java BigDecimal.valueOf
+    + setScale).  Python's builtin ``round`` is half-to-even on the
+    BINARY value, which diverges on decimal half-points — e.g.
+    round(0.0078125, 6) = 0.007812 but F.round gives 0.007813 — and
+    the stream/batch twins are asserted row-identical."""
+    return float(
+        Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
     )
 
 
@@ -138,31 +158,23 @@ def _sessionize_group(
     gap_us: int,
     tz: str = "UTC",
 ) -> Iterator[pd.DataFrame]:
-    """Stateful kernel: merge the user's open session with this batch's
-    rows, emit every session that closed, keep the last one open."""
-    rows: list[tuple[int, float]] = []
+    """Stateful kernel: interval-merge the user's open session with this
+    batch's rows, emit every session that closed, keep the last open.
+
+    Each session is a segment ``[start, end, n_events, n_nonnull,
+    sum]``; batch events are unit segments; merging segments whose
+    start is within ``gap_us`` of the running end is exactly the
+    full-event-list split (events can extend or fill a session, never
+    split one), with O(1) state per user."""
+    # segments: [start_us, end_us, n_events, n_nonnull, sum_value]
+    segs: list[list] = []
     next_seq = 1
     if state.exists:
-        seq0, ts_us, vals = state.get
+        seq0, start_us, end_us, n_ev, n_nn, sv = state.get
         next_seq = seq0
-        rows.extend(zip(ts_us, vals))
+        segs.append([start_us, end_us, n_ev, n_nn, sv or 0.0])
     for pdf in pdfs:
         ts = _ts_to_micros(pdf["ts"], tz)
-        rows.extend(zip(ts.tolist(), pdf["value"].astype(float).tolist()))
-    cols = [f.name for f in SESSION_SCHEMA.fields]
-    if not rows:
-        yield pd.DataFrame(columns=cols)
-        return
-    rows.sort(key=lambda r: r[0])
-    sessions: list[list[tuple[int, float]]] = [[rows[0]]]
-    for r in rows[1:]:
-        if r[0] - sessions[-1][-1][0] > gap_us:
-            sessions.append([r])
-        else:
-            sessions[-1].append(r)
-    uid = key[0]
-    out = []
-    for s in sessions[:-1]:  # every session but the last has closed
         # NULL event values arrive as NaN through astype(float); the
         # batch twin's F.sum skips NULLs (all-NULL -> NULL), so the
         # kernel must do the same or the twins diverge on the first
@@ -173,22 +185,40 @@ def _sessionize_group(
         # propagates a literal NaN.  Distinguishing them would need a
         # sidecar isnull column; not worth it for a sentinel value no
         # event source emits deliberately.
-        vals = [v for _, v in s if not math.isnan(v)]
+        for t, v in zip(ts.tolist(), pdf["value"].astype(float).tolist()):
+            nn = 0 if math.isnan(v) else 1
+            segs.append([t, t, 1, nn, v if nn else 0.0])
+    cols = [f.name for f in SESSION_SCHEMA.fields]
+    if not segs:
+        yield pd.DataFrame(columns=cols)
+        return
+    segs.sort(key=lambda s: (s[0], s[1]))
+    merged: list[list] = [segs[0]]
+    for s in segs[1:]:
+        cur = merged[-1]
+        if s[0] - cur[1] <= gap_us:
+            cur[1] = max(cur[1], s[1])
+            cur[2] += s[2]
+            cur[3] += s[3]
+            cur[4] += s[4]
+        else:
+            merged.append(s)
+    uid = key[0]
+    out = []
+    for s in merged[:-1]:  # every session but the last has closed
         out.append(
             (
                 uid,
                 next_seq,
-                s[0][0] // 1_000_000,
-                s[-1][0] // 1_000_000,
-                len(s),
-                round(sum(vals), 6) if vals else None,
+                s[0] // 1_000_000,
+                s[1] // 1_000_000,
+                s[2],
+                _round6(s[4]) if s[3] else None,
             )
         )
         next_seq += 1
-    open_s = sessions[-1]
-    state.update(
-        (next_seq, [t for t, _ in open_s], [v for _, v in open_s])
-    )
+    o = merged[-1]
+    state.update((next_seq, o[0], o[1], o[2], o[3], o[4]))
     yield pd.DataFrame(out, columns=cols)
 
 

@@ -65,7 +65,7 @@ class TuningResult:
     non_pairs: int
 
 
-def _tuning_feats(patients: DataFrame, algorithm: Algorithm | None) -> DataFrame:
+def _tuning_feats(patients: DataFrame) -> DataFrame:
     """Features for the exact-agreement probe (suffix prepending OFF)."""
     cols = [
         "record_id",
@@ -215,6 +215,16 @@ def class_probs(pairs_with_feats: DataFrame) -> tuple[dict[str, float], int]:
         aggs.append(F.sum(exact_agreement_expr(f)).alias(f))
     row = pairs_with_feats.agg(*aggs).collect()[0]
     n = row["_n"]
+    if n == 0:
+        # F.sum over zero rows is NULL; without this the caller gets a
+        # bare TypeError.  An empty pair frame means the sampler found
+        # no usable pairs (e.g. the shuffled sample landed entirely in
+        # one person cluster) — say so.
+        raise ValueError(
+            "no pairs to compute class probabilities from (the sample "
+            "produced zero usable pairs; corpus cluster structure may "
+            "be degenerate)"
+        )
     return {f: (1.0 + row[f]) / (n + 1.0) for f in FIELDS_TO_CALCULATE}, n
 
 
@@ -380,44 +390,68 @@ def tune(
             f"num_patients, have {n_persons}"
         )
 
-    raw_feats = _tuning_feats(patients, algorithm).cache()
+    raw_feats = _tuning_feats(patients).cache()
+    cached = [raw_feats]
+    try:
+        # the birthday-problem guard must see the USABLE population:
+        # the sampler drops NULL-person rows, so counting raw rows
+        # would validate an inflated sample size (and silently
+        # under-deliver pairs) on corpora with many pending-review
+        # patients
+        usable = raw_feats.filter(F.col("person_id").isNotNull()).count()
 
-    true_pairs = sample_true_match_pairs(raw_feats, n_true_pairs, seed).cache()
-    non_pairs = sample_non_match_pairs(
-        raw_feats, min(sample_size, raw_feats.count()), n_non_pairs, seed
-    ).cache()
+        true_pairs = sample_true_match_pairs(
+            raw_feats, n_true_pairs, seed
+        ).cache()
+        cached.append(true_pairs)
+        non_pairs = sample_non_match_pairs(
+            raw_feats, min(sample_size, usable), n_non_pairs, seed
+        ).cache()
+        cached.append(non_pairs)
 
-    m_probs, n_true = class_probs(_attach(true_pairs, raw_feats, FIELDS_TO_CALCULATE))
-    u_probs, n_non = class_probs(_attach(non_pairs, raw_feats, FIELDS_TO_CALCULATE))
-    odds = calculate_log_odds(m_probs, u_probs)
+        m_probs, n_true = class_probs(
+            _attach(true_pairs, raw_feats, FIELDS_TO_CALCULATE)
+        )
+        u_probs, n_non = class_probs(
+            _attach(non_pairs, raw_feats, FIELDS_TO_CALCULATE)
+        )
+        odds = calculate_log_odds(m_probs, u_probs)
 
-    # A8 scores both records skip-CLEANED (prob_calc.py:264-268)
-    cols = [
-        "record_id",
-        "external_id",
-        "birth_date",
-        "sex",
-        "name",
-        "address",
-        "telecom",
-        "race",
-        "identifiers",
-    ]
-    cleaned = remove_skip_values(
-        patients.select(*cols), algorithm.context.skip_values
-    )
-    id_types = sorted(
-        {
-            e.suffix
-            for p in algorithm.passes
-            for e in p.evaluators
-            if e.suffix is not None
-        }
-    )
-    cleaned_feats = feature_columns(cleaned, id_types).cache()
-    true_scores = pair_rms_scores(true_pairs, cleaned_feats, algorithm, odds)
-    non_scores = pair_rms_scores(non_pairs, cleaned_feats, algorithm, odds)
-    bounds = estimate_rms_bounds(true_scores, non_scores)
-    return TuningResult(
-        log_odds=odds, bounds=bounds, true_pairs=n_true, non_pairs=n_non
-    )
+        # A8 scores both records skip-CLEANED (prob_calc.py:264-268)
+        cols = [
+            "record_id",
+            "external_id",
+            "birth_date",
+            "sex",
+            "name",
+            "address",
+            "telecom",
+            "race",
+            "identifiers",
+        ]
+        cleaned = remove_skip_values(
+            patients.select(*cols), algorithm.context.skip_values
+        )
+        id_types = sorted(
+            {
+                e.suffix
+                for p in algorithm.passes
+                for e in p.evaluators
+                if e.suffix is not None
+            }
+        )
+        cleaned_feats = feature_columns(cleaned, id_types).cache()
+        cached.append(cleaned_feats)
+        true_scores = pair_rms_scores(true_pairs, cleaned_feats, algorithm, odds)
+        non_scores = pair_rms_scores(non_pairs, cleaned_feats, algorithm, odds)
+        bounds = estimate_rms_bounds(true_scores, non_scores)
+        return TuningResult(
+            log_odds=odds, bounds=bounds, true_pairs=n_true, non_pairs=n_non
+        )
+    finally:
+        # estimate_rms_bounds drains both score frames driver-side, so
+        # nothing downstream re-reads the caches — release them (a
+        # long-lived driver invoking tune() repeatedly would otherwise
+        # pin four plans per run in executor storage)
+        for df in cached:
+            df.unpersist()

@@ -77,10 +77,10 @@ def run_once(record):
     mpi_feats = tk("4_mpi_feats", lambda: mat(mpi_feats))
     per_pass = []
     for i, p in enumerate(alg.passes, 1):
-        pairs = tk(f"5_block_p{{i}}", lambda: mat(candidate_pairs(inc_bk, mpi_bk, alg, p)))
-        feats = tk(f"6_attach_p{{i}}", lambda: mat(attach_pair_features(pairs, inc_feats, mpi_feats, p)))
-        scored = tk(f"7_score_p{{i}}", lambda: mat(score_pairs(feats, alg, p)))
-        per_pass.append(tk(f"8_cluster_p{{i}}", lambda: mat(cluster_scores(scored, alg, p))))
+        pairs = tk(f"5_block_p{i}", lambda: mat(candidate_pairs(inc_bk, mpi_bk, alg, p)))
+        feats = tk(f"6_attach_p{i}", lambda: mat(attach_pair_features(pairs, inc_feats, mpi_feats, p)))
+        scored = tk(f"7_score_p{i}", lambda: mat(score_pairs(feats, alg, p)))
+        per_pass.append(tk(f"8_cluster_p{i}", lambda: mat(cluster_scores(scored, alg, p))))
     folded = fold_passes(per_pass)
     tk("9_decide", lambda: decide(folded, incoming, alg.context.include_multiple_matches)[0].count())
     if record:

@@ -139,3 +139,22 @@ def test_kernel_epochs_are_session_timezone_correct():
         return
     (micros_us,) = _ts_to_micros(s_us, "America/New_York").tolist()
     assert micros_us == 1_704_110_400_000_000
+
+
+def test_round6_matches_spark_half_up(spark):
+    """The kernel's _round6 must reproduce F.round(x, 6) exactly —
+    Python's builtin round() is half-to-even on the binary double and
+    diverges on decimal half-points (0.0078125 -> 0.007812 vs Spark's
+    0.007813)."""
+    from recordlinker_spark.operators.sessions import _round6
+
+    vals = [
+        0.0078125, -0.0078125, 2.5e-7, -2.5e-7, 1.0000005, 0.1234565,
+        123.4567895, 0.0, 1e-7, 9.9999995, 1234567.1234567, -0.9999995,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r["r"]
+        for r in df.select(F.round(F.col("v"), 6).alias("r")).collect()
+    ]
+    assert got == [_round6(v) for v in vals]

@@ -63,7 +63,7 @@ def _pairs_df(spark, pairs):
 def test_class_probs_m_and_u(spark, corpus):
     """prob_calc expectations (test_prob_calc.py:39-75)"""
     records, true_pairs, non_pairs = corpus
-    feats = _tuning_feats(records, None)
+    feats = _tuning_feats(records)
     m, n_t = class_probs(_attach(_pairs_df(spark, true_pairs), feats, FIELDS_TO_CALCULATE))
     u, n_u = class_probs(_attach(_pairs_df(spark, non_pairs), feats, FIELDS_TO_CALCULATE))
     assert n_t == 5 and n_u == 5
@@ -150,7 +150,7 @@ def test_sampling_shapes(spark, corpus):
     labeled = records.drop("person_id").withColumn(
         "person_id", F.regexp_extract("record_id", r"(t\d+)_", 1)
     )
-    feats = _tuning_feats(labeled, None)
+    feats = _tuning_feats(labeled)
     t = sample_true_match_pairs(feats, 3, seed=1)
     assert t.count() == 3
     n = sample_non_match_pairs(feats, 10, 4, seed=1)
