@@ -303,8 +303,23 @@ def ngram_jaccard_pairs(
     the earlier variant joined the full shingle *arrays* onto every
     pair and ran set ops per pair, shuffling O(doc_len) arrays per pair
     (20.9s at sf0.1 vs low single digits for this plan).  Zero-overlap
-    pairs are preserved via a left join (jaccard = 0)."""
-    ex = exploded_shingles(docs, text_col, k, distinct=True)
+    pairs are preserved via a left join (jaccard = 0).
+
+    Only PAIR MEMBERS are shingled: the explode subtree feeds three
+    join branches (sizes + both intersection sides) with different
+    partitionings, so no exchange is reused and an unpruned corpus
+    would be scanned+exploded three times over — while banded LSH
+    candidates touch a small fraction of a large corpus.  The member
+    semi-join costs one narrow id distinct and prunes all three
+    branches."""
+    members = (
+        candidate_pairs.select(F.col("doc_id_l").alias("doc_id"))
+        .unionByName(candidate_pairs.select(F.col("doc_id_r").alias("doc_id")))
+        .distinct()
+    )
+    ex = exploded_shingles(
+        docs.join(members, "doc_id", "left_semi"), text_col, k, distinct=True
+    )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # pair x left-shingle rows, matched against the right side's shingles
     left = candidate_pairs.join(
