@@ -53,10 +53,15 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents.
 
     Returns (dup_key, n_docs, doc_ids) for groups with n_docs > 1.
-    One shuffle, map-side partial agg."""
+    One shuffle, map-side partial agg.  NULL-text docs are excluded:
+    md5(NULL) is NULL and groupBy treats NULL keys as equal, so without
+    the filter every doc with merely MISSING text would be reported as
+    one giant byte-identical group — and a downstream keep-one-copy
+    step would delete real, unrelated documents."""
     key = F.md5(_norm_text(F.col(text_col))).alias("dup_key")
     return (
-        docs.select(key, F.col("doc_id"))
+        docs.filter(F.col(text_col).isNotNull())
+        .select(key, F.col("doc_id"))
         .groupBy("dup_key")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -230,6 +235,13 @@ def minhash_lsh_pairs(
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     rows = num_hashes // bands
     sig = minhash_signatures(docs, text_col, num_hashes, seed, k)
+    # NULL-text docs carry all-NULL signatures (min over zero shingle
+    # rows), and concat_ws SKIPS NULLs — without this filter every such
+    # doc lands in bucket "" of every band and the self-join emits a
+    # quadratic clique of contentless "candidates".  A doc with no text
+    # has no content to be a near-duplicate OF; drop it here.  (sig
+    # elements are all-or-none NULL, so testing the first suffices.)
+    sig = sig.filter(F.element_at(F.col("sig"), 1).isNotNull())
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -312,6 +324,13 @@ def ngram_jaccard_pairs(
     candidates touch a small fraction of a large corpus.  The member
     semi-join costs one narrow id distinct and prunes all three
     branches."""
+    # the intersection count below is summed per (l, r) key, so a
+    # DUPLICATED input pair would double n_inter against fixed sizes —
+    # jaccard > 1, or a zero denominator for exact-dup pairs (ANSI
+    # divide error).  Dedup defensively: internal callers already emit
+    # distinct pairs, and this exchange shares the pair key the
+    # intersection groupBy shuffles on anyway.
+    candidate_pairs = candidate_pairs.dropDuplicates(["doc_id_l", "doc_id_r"])
     members = (
         candidate_pairs.select(F.col("doc_id_l").alias("doc_id"))
         .unionByName(candidate_pairs.select(F.col("doc_id_r").alias("doc_id")))
@@ -395,7 +414,15 @@ def simhash_buckets(
     docs: DataFrame, text_col: str = "text", band_bits: int = 15
 ) -> DataFrame:
     """(doc_id, band, key) LSH rows over the 60-bit simhash; docs within
-    Hamming distance 3 share >= 1 of the 4 bands (pigeonhole)."""
+    Hamming distance ``60/band_bits - 1`` share >= 1 band (pigeonhole;
+    3 for the default 15-bit bands)."""
+    if SIMHASH_BITS % band_bits != 0:
+        # same rationale as minhash_lsh_pairs: a silent remainder would
+        # leave the high bits unkeyed AND break the pigeonhole recall
+        # guarantee (fewer bands than the caller computed with)
+        raise ValueError(
+            f"band_bits={band_bits} does not divide {SIMHASH_BITS}"
+        )
     sim = simhash_table(docs, text_col)
     bands = [
         F.struct(
@@ -524,8 +551,15 @@ def neardup_keep_best(
     keep)`` where ``component`` is the numeric-min doc_id of the
     near-dup group (singletons are their own component), ``n_members``
     the group size, and ``keep`` 1 for the elected canonical doc —
-    the longest normalized text, ties to the smallest doc_id — else 0.
+    the longest TRIMMED raw text (leading/trailing whitespace ignored,
+    inner whitespace counted), ties to the smallest doc_id — else 0.
     Downstream keeps ``filter(keep = 1)`` and drops the rest.
+
+    ``doc_id`` must be a numeric string (or numeric type): ids are
+    ranked numerically for the component label and the tie-break.  A
+    non-numeric id raises immediately — under non-ANSI configs a
+    silent cast-to-NULL would otherwise collapse the whole corpus into
+    one component and elect a single keeper (mass data loss).
 
     Scale shape: candidates are banded + bucket-capped (never
     all-pairs), the verify join is narrow exploded-shingle rows, and
@@ -537,8 +571,24 @@ def neardup_keep_best(
     """
     from recordlinker_spark.operators.cluster import connected_components
 
+    # loud on non-numeric ids in EVERY ansi mode: try_cast never
+    # throws, so the raise_error branch fires deterministically instead
+    # of ANSI-dependent behavior (exception vs silent NULL collapse)
+    doc_id_num = F.when(
+        F.col("doc_id").isNotNull()
+        & F.expr("try_cast(doc_id as long)").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "neardup_keep_best requires numeric doc ids "
+                    "(component labels and tie-breaks rank numerically); got: "
+                ),
+                F.col("doc_id"),
+            )
+        ).cast("long"),
+    ).otherwise(F.expr("try_cast(doc_id as long)"))
     base = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        doc_id_num.alias("doc_id"),
         F.coalesce(
             F.length(F.trim(F.col(text_col))), F.lit(0)
         ).alias("_len"),

@@ -232,8 +232,8 @@ def pick_nprobe(
         ).collect()
     }
     max_probe = 1 << min(nbits, max(1, min(rank_planes, MAX_RANK_PLANES)))
-    nprobe, recall = 1, 0.0
-    while nprobe <= max_probe:
+
+    def measure(p: int) -> float:
         got = {
             (r["query_id"], r[id_col])
             for r in ivf_topk(
@@ -243,17 +243,38 @@ def pick_nprobe(
                 dim=dim,
                 nbits=nbits,
                 seed=seed,
-                nprobe=nprobe,
+                nprobe=p,
                 max_bucket_size=max_bucket_size,
                 id_col=id_col,
                 vec_col=vec_col,
                 rank_planes=rank_planes,
             ).collect()
         }
-        recall = len(got & truth) / max(len(truth), 1)
-        if recall >= recall_floor or nprobe == max_probe:
-            return nprobe, recall
+        return len(got & truth) / max(len(truth), 1)
+
+    # galloping doubling to bracket the floor, then binary refinement:
+    # recall@k is monotone in nprobe (a larger probe set is a candidate
+    # superset), so the doubling phase alone would over-ship by up to
+    # 2x (e.g. return 4 when 3 suffices) — each extra probe is paid on
+    # EVERY query the shipped index serves, while the refinement costs
+    # log2(nprobe) one-off sample evaluations here.
+    nprobe, recall = 1, 0.0
+    while True:
+        recall = measure(nprobe)
+        if recall >= recall_floor or nprobe >= max_probe:
+            break
         nprobe = min(nprobe * 2, max_probe)
+    if recall >= recall_floor and nprobe > 1:
+        lo, hi = nprobe // 2 + 1, nprobe  # lo-1 measured below floor
+        best, best_recall = nprobe, recall
+        while lo < hi:
+            mid = (lo + hi) // 2
+            r = measure(mid)
+            if r >= recall_floor:
+                best, best_recall, hi = mid, r, mid
+            else:
+                lo = mid + 1
+        return best, best_recall
     return nprobe, recall
 
 

@@ -709,6 +709,7 @@ def oracle_queries() -> dict[str, str]:
                count(*) as n_docs,
                array_to_string(list_sort(list(doc_id)), ',') as doc_ids
         from corpus
+        where text is not null
         group by 1 having count(*) > 1
     """
 
@@ -943,9 +944,14 @@ def oracle_queries() -> dict[str, str]:
     )
     out["minhash_lsh_pairs"] = f"""
         with corpus as (
-          select cast(doc_id as bigint) as doc_id, text from documents
-          union all
-          select cast(doc_id as bigint) + 1000000, text from documents
+          -- NULL-text docs carry no content: the engine filters their
+          -- all-NULL signatures before banding (dedup.py), so the
+          -- replay excludes them here
+          select * from (
+            select cast(doc_id as bigint) as doc_id, text from documents
+            union all
+            select cast(doc_id as bigint) + 1000000, text from documents
+          ) where text is not null
         ),
         sh as (
           select doc_id,
@@ -991,9 +997,12 @@ def oracle_queries() -> dict[str, str]:
           from corpus
         ),
         shl as (
+          -- NULL-text docs never shingle: the engine drops their
+          -- all-NULL signatures before banding, so they stay
+          -- singletons in the output (handled by the left join below)
           select doc_id, list_distinct([substr(t, i, 5)
             for i in range(1, greatest(length(t) - 4, 1) + 1)]) as s
-          from norm
+          from norm where t is not null
         ),
         sh as (select doc_id, unnest(s) as s from shl),
         hashed as (

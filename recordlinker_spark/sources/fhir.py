@@ -114,7 +114,11 @@ def _telecoms(resource: dict) -> list[dict]:
         system = _py_trim(t.get("system"))
         if value is not None:
             if system == "email":
-                value = value.strip().lower()
+                # _py_trim, not str.strip(): the span-ingest twin uses
+                # Spark trim() semantics (SQL space set), and str.strip
+                # would remove tabs/newlines it keeps — the same email
+                # would then disagree between the two sources
+                value = _py_trim(value).lower()
             elif system == "phone":
                 value = _py_norm_phone(value)
             else:
@@ -193,7 +197,19 @@ def parse_fhir_bundles(
         for pdf in batches:
             rows = []
             for rid, raw in zip(pdf[id_col], pdf[bundle_col]):
-                bundle = json.loads(raw) if isinstance(raw, str) else raw
+                # degenerate bundles (NULL, malformed JSON, non-dict)
+                # yield an all-missing record — the module's documented
+                # no-Patient-resource behavior — instead of killing the
+                # whole job on one bad row with AttributeError
+                if isinstance(raw, str):
+                    try:
+                        bundle = json.loads(raw)
+                    except ValueError:
+                        bundle = {}
+                else:
+                    bundle = raw
+                if not isinstance(bundle, dict):
+                    bundle = {}
                 resource = first_patient_resource(bundle)
                 rows.append(fhir_resource_to_pii(rid, resource, parse_bd))
             yield pd.DataFrame(rows, columns=cols)

@@ -450,3 +450,68 @@ def test_neardup_keep_best_elects_one_per_component(docs_df):
         by_comp.setdefault(r["component"], 0)
         by_comp[r["component"]] += r["keep"]
     assert all(v == 1 for v in by_comp.values())
+
+
+def test_null_text_docs_never_group_or_pair(spark):
+    """NULL-text docs must not form an exact-dup group (md5(NULL)
+    groups as equal) nor a quadratic LSH clique (all-NULL sigs share
+    bucket '' in every band)."""
+    from recordlinker_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_lsh_pairs,
+        neardup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [("1", None), ("2", None), ("3", None),
+         ("4", "hello world text"), ("5", "hello world text")],
+        "doc_id string, text string",
+    )
+    assert exact_duplicates(docs).count() == 1  # only the real pair
+    pairs = {
+        (r["doc_id_l"], r["doc_id_r"])
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert pairs == {("4", "5")}
+    # keep_best: NULL-text docs stay singleton components, kept
+    kb = {r["doc_id"]: (r["n_members"], r["keep"])
+          for r in neardup_keep_best(docs).collect()}
+    assert kb[1] == (1, 1) and kb[4] == (2, 1) and kb[5] == (2, 0)
+
+
+def test_simhash_band_bits_must_divide(spark):
+    from recordlinker_spark.operators.dedup import simhash_buckets
+
+    docs = spark.createDataFrame([("1", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="does not divide"):
+        simhash_buckets(docs, band_bits=16)
+
+
+def test_keep_best_rejects_non_numeric_ids(spark):
+    """Non-numeric doc ids must raise loudly in every ANSI mode — a
+    silent cast-to-NULL would collapse the corpus to one component and
+    elect a single keeper."""
+    from recordlinker_spark.operators.dedup import neardup_keep_best
+
+    bad = spark.createDataFrame(
+        [("d01-0", "some text here"), ("d02-0", "some text here")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(Exception, match="numeric doc ids"):
+        neardup_keep_best(bad).collect()
+
+
+def test_duplicated_candidate_pairs_are_deduped(spark):
+    """A duplicated input pair must not double the intersection count
+    (jaccard > 1 / ANSI divide-by-zero on exact-dup pairs)."""
+    from recordlinker_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [("1", "hello world text"), ("2", "hello world text")],
+        "doc_id string, text string",
+    )
+    cand = spark.createDataFrame(
+        [("1", "2"), ("1", "2")], "doc_id_l string, doc_id_r string"
+    )
+    rows = ngram_jaccard_pairs(docs, cand, threshold=0.0).collect()
+    assert len(rows) == 1 and abs(rows[0]["jaccard"] - 1.0) < 1e-12

@@ -263,3 +263,20 @@ def test_enrich_bundles_null_person_gives_null_bundle(spark):
     (row,) = enrich_bundles(bundles, decisions, records).collect()
     assert row["final_grade"] == "possible"
     assert row["updated_bundle"] is None
+
+
+def test_degenerate_bundles_yield_all_missing_records(spark):
+    """NULL / malformed-JSON / non-dict bundle values must produce
+    all-missing PII records (the documented no-Patient behavior), not
+    an AttributeError that kills the job on one bad row."""
+    from recordlinker_spark.sources.fhir import parse_fhir_bundles
+
+    bundles = spark.createDataFrame(
+        [("b1", None), ("b2", "{not json"), ("b3", "[1, 2]"),
+         ("b4", '{"entry": []}')],
+        "doc_id string, bundle string",
+    )
+    rows = {r["record_id"]: r for r in parse_fhir_bundles(bundles).collect()}
+    assert set(rows) == {"b1", "b2", "b3", "b4"}
+    for r in rows.values():
+        assert r["birth_date"] is None and r["name"] in ([], None)
