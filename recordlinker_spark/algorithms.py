@@ -27,6 +27,7 @@ Configuration is driver-side data; nothing here touches Spark.
 from __future__ import annotations
 
 import json
+import math
 import re
 
 from recordlinker_spark.config import (
@@ -105,6 +106,10 @@ def parse_feature(value: str, allow_wildcard: bool = False) -> str:
 def _check_label(value: str, what: str) -> str:
     if value is None:
         return value
+    if not isinstance(value, str):
+        # a JSON number/bool label would TypeError out of len() below,
+        # escaping the module's AlgorithmValidationError contract
+        raise AlgorithmValidationError(f"Invalid {what} label: {value!r}")
     if len(value) > 255 or not LABEL_RE.match(value):
         raise AlgorithmValidationError(f"Invalid {what} label: '{value}'")
     return value
@@ -115,21 +120,6 @@ def _check_unit(value, what: str) -> float:
     if not (0.0 <= v <= 1.0):
         raise AlgorithmValidationError(f"{what} must be within [0, 1]: {value}")
     return v
-
-
-def _log_odds_lookup(mapping: dict[str, float], feature: str):
-    """The reference's exact lookup (algorithm.py:185-196): try the full
-    feature then the suffix-stripped attribute; a falsy hit (0.0) does
-    NOT short-circuit but is returned if it is the last candidate."""
-    result = None
-    candidates = [feature]
-    if ":" in feature:
-        candidates.append(feature.split(":", 1)[0])
-    for key in candidates:
-        result = mapping.get(key, None)
-        if result:
-            break
-    return result
 
 
 def _evaluator_from_dict(d: dict) -> Evaluator:
@@ -191,9 +181,13 @@ def _context_from_dict(d: dict) -> AlgorithmContext:
     for lo in d.get("log_odds", ()):
         feature = parse_feature(_require(lo, "feature", "log_odds entry"))
         value = float(_require(lo, "value", "log_odds entry"))
-        if value < 0:
+        # isfinite, not just >= 0: json.load admits NaN/Infinity, and
+        # NaN passes every comparison-based check (NaN < 0 is False) —
+        # a NaN weight then poisons the missingness total so the pass
+        # silently produces zero candidates
+        if not math.isfinite(value) or value < 0:
             raise AlgorithmValidationError(
-                f"Log odds must be >= 0: {feature}={value}"
+                f"Log odds must be a finite number >= 0: {feature}={value}"
             )
         log_odds[feature] = value
     skip_values = []
@@ -247,12 +241,12 @@ def algorithm_from_dict(d: dict) -> Algorithm:
         raise AlgorithmValidationError("Each pass must have a unique label.")
     for p in passes:
         for key in p.blocking_keys:
-            if _log_odds_lookup(context.log_odds, key) is None:
+            if context.get_log_odds(key) is None:
                 raise AlgorithmValidationError(
                     "Log odds must be defined for all blocking keys."
                 )
         for ev in p.evaluators:
-            if _log_odds_lookup(context.log_odds, ev.feature) is None:
+            if context.get_log_odds(ev.feature) is None:
                 raise AlgorithmValidationError(
                     "Log odds must be defined for all evaluators."
                 )

@@ -97,13 +97,19 @@ class AlgorithmContext:
     missing_field_points_proportion: float = 0.5
 
     def get_log_odds(self, feature: str) -> float | None:
-        """Lookup with identifier-suffix fallback (algorithm.py:184-196):
-        ``IDENTIFIER:SS`` falls back to ``IDENTIFIER`` when unset."""
+        """Lookup with identifier-suffix fallback (reference
+        schemas/algorithm.py:184-196): ``IDENTIFIER:SS`` falls back to
+        ``IDENTIFIER`` when unset.  Reference-exact falsy semantics: a
+        0.0-mapped candidate does not short-circuit the fallback walk,
+        but IS returned when it is the last candidate — so a feature
+        explicitly configured with weight 0.0 counts as DEFINED (the
+        validator accepts it) while an absent one returns None."""
+        result = None
         for key in _values_to_match(feature):
-            val = self.log_odds.get(key)
-            if val:
-                return val
-        return None
+            result = self.log_odds.get(key)
+            if result:
+                break
+        return result
 
 
 def _values_to_match(feature: str) -> typing.Iterator[str]:

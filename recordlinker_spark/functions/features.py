@@ -106,9 +106,27 @@ def norm_text_array_expr(arr: Column) -> Column:
             F.translate(joined, src, dst), "[^0-9A-Za-z\x1f]", ""
         )
     )
+    fast = F.split(cleaned, _SEP, -1)
+    # a RAW \x1f inside a value (corrupt binary in source data) would
+    # survive the scrub as a bogus separator and desync the round-trip
+    # — every later element of the record would be misaligned (e.g.
+    # identifier values zipped against the wrong types).  Detect by
+    # element count and fall back to the per-element normalize for
+    # exactly those rows: the HOF branch is interpreted, but WHEN only
+    # evaluates it on corrupt rows, so the common path stays codegen.
+    slow = F.transform(
+        arr,
+        lambda x: F.lower(
+            F.regexp_replace(
+                F.translate(F.coalesce(x, F.lit("")), src, dst),
+                "[^0-9A-Za-z]",
+                "",
+            )
+        ),
+    )
     return F.when(arr.isNull(), F.lit(None).cast("array<string>")).otherwise(
         F.when(F.size(arr) == 0, F.array().cast("array<string>")).otherwise(
-            F.split(cleaned, _SEP, -1)
+            F.when(F.size(fast) == F.size(arr), fast).otherwise(slow)
         )
     )
 
@@ -151,13 +169,17 @@ def feature_columns(
     name, address, telecom = F.col("name"), F.col("address"), F.col("telecom")
 
     raw: dict[str, Column] = {}
-    # ---- scalar features
+    # ---- scalar features: TRUTHY guard, not just non-null — the
+    # reference's ``if value:`` (pii.py:486-497) yields nothing for an
+    # empty string, and without it every empty-birthdate record would
+    # share the '' blocking value in one giant cross-matching block
     raw["BIRTHDATE"] = F.when(
-        F.col("birth_date").isNotNull(), F.array(F.col("birth_date"))
+        F.col("birth_date").isNotNull() & (F.col("birth_date") != ""),
+        F.array(F.col("birth_date")),
     ).otherwise(F.array().cast("array<string>"))
-    raw["SEX"] = F.when(F.col("sex").isNotNull(), F.array(F.col("sex"))).otherwise(
-        F.array().cast("array<string>")
-    )
+    raw["SEX"] = F.when(
+        F.col("sex").isNotNull() & (F.col("sex") != ""), F.array(F.col("sex"))
+    ).otherwise(F.array().cast("array<string>"))
     # ---- address-derived (ADDRESS/CITY/COUNTY normalized later)
     raw["ADDRESS"] = _nonempty(F.transform(address, lambda a: F.try_element_at(a["line"], F.lit(1))))
     raw["CITY"] = _nonempty(F.transform(address, lambda a: a["city"]))
@@ -194,7 +216,6 @@ def feature_columns(
     raw["RACE"] = F.filter(
         F.col("race"), lambda r: ~r.isin("UNKNOWN", "ASKED_UNKNOWN")
     )
-    raw["TELECOM"] = F.transform(telecom, lambda t: t["value"])  # unconditional
     raw["PHONE"] = F.transform(
         F.filter(telecom, lambda t: t["system"] == "phone"), lambda t: t["value"]
     )
@@ -218,25 +239,29 @@ def feature_columns(
     for attr in FEATURE_ATTRIBUTES:
         if attr == "IDENTIFIER":
             continue
-        col = raw[attr]
+        col = raw.get(attr)  # TELECOM is built whole in its branch
         if attr in normalized:
             col = norm_text_array_expr(col)
         elif attr == "TELECOM":
-            # phone telecoms are normalized, others pass through (pii.py:541-546)
-            phones = norm_text_array_expr(
-                F.transform(
-                    F.filter(telecom, lambda t: t["system"] == "phone"),
-                    lambda t: t["value"],
-                )
-            )
+            # phone telecoms are normalized, others pass through
+            # (pii.py:541-546); the phone side reuses raw["PHONE"] so
+            # the two expressions cannot drift
             others = F.transform(
                 F.filter(
                     telecom, lambda t: (t["system"].isNull()) | (t["system"] != "phone")
                 ),
                 lambda t: t["value"],
             )
-            col = F.concat(phones, others)
-        cols.append(col.alias(f"feat_{attr}"))
+            col = F.concat(norm_text_array_expr(raw["PHONE"]), others)
+        # contract enforcement: every feat_* is an ARRAY, empty ==
+        # missing — a NULL source column (schema-legal in external
+        # parquet) would otherwise propagate NULL through transform()
+        # and bypass the missingness gate (size(NULL) is NULL, so
+        # blocking's when(size <= 0) charges no missing-odds yet omits
+        # the key from the subset)
+        cols.append(
+            F.coalesce(col, F.array().cast("array<string>")).alias(f"feat_{attr}")
+        )
 
     # IDENTIFIER composite: norm(value):norm(authority):type (pii.py:564-568)
     idents = F.col("identifiers")
@@ -251,19 +276,26 @@ def feature_columns(
         ),
         lambda val, rest: F.concat(val, F.lit(":"), rest),
     )
-    cols.append(ident_composite.alias("feat_IDENTIFIER"))
+    cols.append(
+        F.coalesce(ident_composite, F.array().cast("array<string>")).alias(
+            "feat_IDENTIFIER"
+        )
+    )
     # per-type columns: align the composite with the (parallel) type
     # array — equality in the lambda, never split()/regexp (HOF perf
     # note in sources/ingest.py)
     types_arr = F.transform(idents, lambda i: i["type"])
     for typ in identifier_types or []:
         cols.append(
-            F.array_compact(
-                F.zip_with(
-                    ident_composite,
-                    types_arr,
-                    lambda c, t: F.when(t == typ, c),
-                )
+            F.coalesce(
+                F.array_compact(
+                    F.zip_with(
+                        ident_composite,
+                        types_arr,
+                        lambda c, t: F.when(t == typ, c),
+                    )
+                ),
+                F.array().cast("array<string>"),
             ).alias(f"feat_IDENTIFIER_{typ}")
         )
     return records.select(*cols)
@@ -311,7 +343,13 @@ def blocking_key_columns(feats: DataFrame, keys: list[str] | None = None) -> Dat
     cols = [feats["*"]]
     for key in keys:
         col = _bk_identifier() if key == "IDENTIFIER" else F.expr(BLOCKING_KEY_EXPRS[key])
-        cols.append(F.array_distinct(col).alias(f"bk_{key}"))
+        # same array-contract enforcement as feature_columns: bk_* is
+        # never NULL, so the missingness gate's size() test is sound
+        cols.append(
+            F.coalesce(
+                F.array_distinct(col), F.array().cast("array<string>")
+            ).alias(f"bk_{key}")
+        )
     return feats.select(*cols)
 
 

@@ -93,13 +93,20 @@ def missingness_filter(
     total = sum(odds.values())
     if total == 0:
         return df.filter(F.lit(False)).withColumn("_subset", F.lit(""))
+    # coalesce(size, 0): bk_* columns are contractually non-NULL
+    # (features.py enforces it), but defend anyway — size(NULL) is NULL
+    # under ANSI, which would charge no missing-odds for an absent key
+    # while also omitting it from the subset (phantom candidate blocks)
+    def _sz(k: str) -> Column:
+        return F.coalesce(F.size(_bk(k)), F.lit(0))
+
     missing = None
     for k in keys:
-        term = F.when(F.size(_bk(k)) <= 0, F.lit(odds[k])).otherwise(F.lit(0.0))
+        term = F.when(_sz(k) <= 0, F.lit(odds[k])).otherwise(F.lit(0.0))
         missing = term if missing is None else missing + term
     present = F.concat_ws(
         ",", F.array_compact(F.array(*[
-            F.when(F.size(_bk(k)) > 0, F.lit(k)) for k in sorted(keys)
+            F.when(_sz(k) > 0, F.lit(k)) for k in sorted(keys)
         ]))
     )
     return (

@@ -126,8 +126,11 @@ def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFra
     MinHash; identical across Spark and DuckDB for oracle checks).
 
     Output is one row per input doc: a NULL ``text`` yields a
-    (doc_id, NULL) fingerprint row (preserved via a left join back to
-    the doc ids — the explode path alone would silently drop it)."""
+    (doc_id, NULL) fingerprint row through the explode path itself —
+    greatest(NULL, 1) is 1 (greatest skips NULLs), so every doc emits
+    at least one position row and min(md5(NULL)) aggregates to NULL.
+    No join-back needed (an earlier left join here doubled the docs
+    scan for no behavioral effect)."""
     # explode a position generator and slice at top level: the md5 +
     # variable-position substring stay in whole-stage codegen instead
     # of an interpreted HOF lambda (the documented thread-scaling trap);
@@ -153,5 +156,4 @@ def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFra
             F.md5(F.substring(F.col("_t"), F.col("_i"), F.lit(k))).alias("g"),
         )
     )
-    fps = ex.groupBy("doc_id").agg(F.min("g").alias("fingerprint"))
-    return docs.select("doc_id").join(fps, "doc_id", "left")
+    return ex.groupBy("doc_id").agg(F.min("g").alias("fingerprint"))

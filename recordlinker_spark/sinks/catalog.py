@@ -23,6 +23,22 @@ import dataclasses
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _is_table_exists(exc: Exception) -> bool:
+    """TABLE_OR_VIEW_ALREADY_EXISTS classification (same pattern as
+    errors.is_missing_table)."""
+    cond = getattr(exc, "getCondition", None) or getattr(
+        exc, "getErrorClass", None
+    )
+    if cond is not None:
+        try:
+            name = cond()
+        except Exception:
+            name = None
+        if name:
+            return "ALREADY_EXISTS" in name
+    return "already exists" in str(exc).lower()
+
+
 @dataclasses.dataclass(frozen=True)
 class TableTarget:
     """One logical table: an Iceberg identifier or a parquet path.
@@ -61,7 +77,16 @@ class TableTarget:
             except AnalysisException as exc:
                 if not is_missing_table(exc):
                     raise
-                df.writeTo(self.ident).using("iceberg").create()
+                try:
+                    df.writeTo(self.ident).using("iceberg").create()
+                except AnalysisException as create_exc:
+                    # bootstrap race: a concurrent writer created the
+                    # table between our failed append and the create —
+                    # the append is valid NOW, so retry it once instead
+                    # of failing a first-run batch on table-exists
+                    if not _is_table_exists(create_exc):
+                        raise
+                    df.writeTo(self.ident).append()
         else:
             df.write.mode("append").parquet(self.ident)
 
@@ -83,12 +108,31 @@ class TableTarget:
         primitive for checkpointed stages (replaces only the partitions
         present in ``df``).
 
-        Iceberg mode derives the partition spec from the table; the
-        parquet fallback has no table metadata, so the caller MUST name
-        the partition columns — without ``partitionBy`` a dynamic
-        overwrite of an unpartitioned path silently replaces the whole
-        table, the opposite of the documented contract."""
+        Iceberg mode derives the partition spec from the table — but an
+        UNPARTITIONED table (e.g. one bootstrap-created by
+        :meth:`append`) makes ``overwritePartitions`` swap the whole
+        table, the same silent hazard the parquet branch raises for.
+        Symmetric guard: catalog mode verifies the table is partitioned
+        (via ``DESCRIBE TABLE``) before the dynamic overwrite; the
+        parquet fallback requires explicit ``partition_by`` columns."""
         if self.catalog:
+            spark = df.sparkSession
+            try:
+                rows = spark.sql(f"DESCRIBE TABLE {self.ident}").collect()
+                partitioned = any(
+                    "Partition" in (r["col_name"] or "") for r in rows
+                )
+            except Exception:
+                # table unreadable (first run / permissions): let the
+                # write itself surface the real error
+                partitioned = True
+            if not partitioned:
+                raise ValueError(
+                    f"overwrite_partitions on unpartitioned table "
+                    f"{self.ident!r} would silently replace the entire "
+                    "table; partition it (ALTER TABLE ... ADD PARTITION "
+                    "FIELD) or use overwrite()"
+                )
             df.writeTo(self.ident).overwritePartitions()
         else:
             if not partition_by:

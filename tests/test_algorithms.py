@@ -105,7 +105,7 @@ def _mutate(base, fn):
          "Invalid blocking key"),
         (lambda d: d.update(label="bad label!"), "Invalid algorithm label"),
         (lambda d: d["algorithm_context"]["log_odds"].append(
-            {"feature": "ZIP", "value": -1.0}), "Log odds must be >= 0"),
+            {"feature": "ZIP", "value": -1.0}), "Log odds must be a finite"),
         # malformed configs report config errors, not bare KeyError
         (lambda d: d.pop("label"), "missing required key 'label'"),
         (lambda d: d.update(label=None), "label must be a string"),
@@ -205,3 +205,53 @@ def test_load_single_object_file(base, tmp_path):
     p = tmp_path / "alg.json"
     p.write_text(json.dumps(base))
     assert load_algorithm(str(p)).label == "test-alg"
+
+
+def test_nan_and_inf_log_odds_rejected():
+    import pytest as _pytest
+
+    from recordlinker_spark.algorithms import (
+        AlgorithmValidationError,
+        algorithm_from_dict,
+    )
+
+    def alg(value):
+        return {
+            "label": "x",
+            "algorithm_context": {"log_odds": [{"feature": "ZIP", "value": value}]},
+            "passes": [{
+                "blocking_keys": ["ZIP"],
+                "evaluators": [{"feature": "ZIP",
+                                "func": "COMPARE_PROBABILISTIC_EXACT_MATCH"}],
+                "possible_match_window": [0.8, 0.9],
+            }],
+        }
+
+    for bad in (float("nan"), float("inf")):
+        with _pytest.raises(AlgorithmValidationError, match="finite"):
+            algorithm_from_dict(alg(bad))
+    # explicit 0.0 is DEFINED (reference falsy-lookup semantics):
+    # validation accepts it
+    assert algorithm_from_dict(alg(0.0)).context.get_log_odds("ZIP") == 0.0
+
+
+def test_non_string_pass_label_rejected():
+    import pytest as _pytest
+
+    from recordlinker_spark.algorithms import (
+        AlgorithmValidationError,
+        algorithm_from_dict,
+    )
+
+    with _pytest.raises(AlgorithmValidationError, match="label"):
+        algorithm_from_dict({
+            "label": "x",
+            "algorithm_context": {"log_odds": [{"feature": "ZIP", "value": 1.0}]},
+            "passes": [{
+                "label": 123,
+                "blocking_keys": ["ZIP"],
+                "evaluators": [{"feature": "ZIP",
+                                "func": "COMPARE_PROBABILISTIC_EXACT_MATCH"}],
+                "possible_match_window": [0.8, 0.9],
+            }],
+        })
