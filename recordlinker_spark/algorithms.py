@@ -156,6 +156,17 @@ def _pass_from_dict(d: dict) -> AlgorithmPass:
     )
     if not evaluators:
         raise AlgorithmValidationError("Each pass requires at least one evaluator")
+    feats = [e.feature for e in evaluators]
+    if len(set(feats)) != len(feats):
+        # engine-stricter than the reference's pydantic model: the
+        # scoring plan keys per-evaluator similarity and score columns
+        # by feature name, so duplicate features in one pass would
+        # silently score both evaluators with the LAST one's
+        # measure/threshold — reject the ambiguous config instead
+        raise AlgorithmValidationError(
+            "Evaluator features must be unique within a pass: "
+            f"{sorted(f for f in feats if feats.count(f) > 1)}"
+        )
     window = _require(d, "possible_match_window", "pass")
     if not isinstance(window, (list, tuple)) or len(window) != 2:
         raise AlgorithmValidationError(

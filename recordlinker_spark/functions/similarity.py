@@ -93,6 +93,15 @@ def multi_max_similarity_udf(measures: tuple[str, ...], ablation: bool = False):
             sims = []
             for k in range(n):
                 vals_l, vals_r = row[2 * k], row[2 * k + 1]
+                # NULL elements (feat_EMAIL/feat_TELECOM carry raw
+                # telecom values, which can be null) are MISSING, not
+                # comparable strings: None==None would score 1.0 for
+                # two records with no email at all, and None<=str
+                # TypeErrors out of the whole job
+                if vals_l is not None:
+                    vals_l = [x for x in vals_l if x is not None]
+                if vals_r is not None:
+                    vals_r = [x for x in vals_r if x is not None]
                 if (
                     vals_l is None
                     or vals_r is None
@@ -139,6 +148,10 @@ def max_similarity_udf(measure: str):
 
         def one(pair):
             vals_l, vals_r = pair
+            if vals_l is not None:
+                vals_l = [x for x in vals_l if x is not None]
+            if vals_r is not None:
+                vals_r = [x for x in vals_r if x is not None]
             if vals_l is None or vals_r is None or len(vals_l) == 0 or len(vals_r) == 0:
                 return None
             best = 0.0

@@ -234,7 +234,11 @@ def max_similarity(values_a: list[str], values_b: list[str], measure: str) -> fl
     func = SIMILARITY_FUNCS[measure]
     best = 0.0
     for a in values_a:
+        if a is None:  # missing value, not a comparable string
+            continue
         for b in values_b:
+            if b is None:
+                continue
             if a == b:
                 return 1.0  # early exit: cannot beat exact equality
             s = func(a, b)

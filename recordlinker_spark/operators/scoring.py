@@ -96,6 +96,33 @@ def evaluator_score(
     raise ValueError(f"unknown evaluator func: {ev.func}")
 
 
+def gated_total(
+    scores: list[Column],
+    missing_terms: list[Column],
+    ctx,
+    max_points: float,
+) -> Column:
+    """C4 missingness gate (reference link.py:117-168): the summed
+    per-evaluator score, zeroed when the missing log-odds mass exceeds
+    ``max_missing_allowed_proportion`` of the pass's max points.
+
+    ONE construction site on purpose: production scoring
+    (:func:`score_pairs`) and the tuning RMS estimator
+    (operators/tuning.py pair_rms_scores) must gate identically, or the
+    tuned windows would be calibrated against a different score
+    distribution than the one production computes."""
+    total = scores[0]
+    for c in scores[1:]:
+        total = total + c
+    missing = missing_terms[0]
+    for t in missing_terms[1:]:
+        missing = missing + t
+    return F.when(
+        missing <= F.lit(ctx.max_missing_allowed_proportion * max_points),
+        total,
+    ).otherwise(F.lit(0.0))
+
+
 def attach_pair_features(
     pairs: DataFrame,
     incoming_feats: DataFrame,
@@ -196,17 +223,9 @@ def score_pairs(
         log_odds = ctx.get_log_odds(ev.feature) or 0.0
         missing_terms.append(F.when(m, F.lit(log_odds)).otherwise(F.lit(0.0)))
 
-    missing_weights = missing_terms[0]
-    for t in missing_terms[1:]:
-        missing_weights = missing_weights + t
-    total = score_cols[0]
-    for c in score_cols[1:]:
-        total = total + c
-    gated = F.when(
-        missing_weights <= F.lit(ctx.max_missing_allowed_proportion * max_points),
-        total,
-    ).otherwise(F.lit(0.0))
-    out = out.withColumn("score", gated)
+    out = out.withColumn(
+        "score", gated_total(score_cols, missing_terms, ctx, max_points)
+    )
     keep = ["record_id_l", "person_id", "record_id_r", "score"] + [
         fs_col(e.feature) for e in algorithm_pass.evaluators
     ]

@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 
 from recordlinker_spark.config import Algorithm, AlgorithmContext
 from recordlinker_spark.functions.features import feature_columns
-from recordlinker_spark.operators.scoring import evaluator_score, feature_col
+from recordlinker_spark.operators.scoring import (
+    evaluator_score,
+    feature_col,
+    gated_total,
+)
 from recordlinker_spark.operators.skipvalues import remove_skip_values
 
 # reference prob_calc.py:14-18
@@ -262,17 +266,7 @@ def pair_rms_scores(
             scores.append(s)
             lo = tuned.context.get_log_odds(ev.feature) or 0.0
             missing_terms.append(F.when(m, F.lit(lo)).otherwise(F.lit(0.0)))
-        total = scores[0]
-        for s in scores[1:]:
-            total = total + s
-        missing = missing_terms[0]
-        for m in missing_terms[1:]:
-            missing = missing + m
-        gated = F.when(
-            missing
-            <= F.lit(tuned.context.max_missing_allowed_proportion * max_points),
-            total,
-        ).otherwise(F.lit(0.0))
+        gated = gated_total(scores, missing_terms, tuned.context, max_points)
         rms = gated / F.lit(max_points) if max_points else F.lit(0.0)
         out_cols.append(rms.alias(f"rms_{p.resolved_label}"))
 

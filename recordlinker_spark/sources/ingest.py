@@ -50,7 +50,11 @@ _PARSED_SPANS = (
     "'grp', case when instr(s.kind, '[') > 0"
     "  then substring(s.kind, 1, instr(s.kind, '[') - 1) else s.kind end, "
     "'idx', case when instr(s.kind, '[') > 0 and instr(s.kind, ']') > 0"
-    "  then cast(substring(s.kind, instr(s.kind, '[') + 1,"
+    # try_cast, not cast: a malformed span index ('name[].given',
+    # 'name[x].given') must skip the span (NULL idx, matching the
+    # arrow engine's int() -> continue), not kill the job under the
+    # ANSI default's CAST_INVALID_INPUT
+    "  then try_cast(substring(s.kind, instr(s.kind, '[') + 1,"
     "       instr(s.kind, ']') - instr(s.kind, '[') - 1) as int) else -1 end, "
     "'fld', case when instr(s.kind, ']') > 0"
     "  then substring(s.kind, instr(s.kind, ']') + 2, 1000) else '' end, "
@@ -67,8 +71,13 @@ def _scalar_span(kind: str) -> str:
 
 
 def _repeated_span(kind: str) -> str:
-    """SQL expr: all trimmed texts of spans with exactly this kind, in order."""
-    return f"transform(filter({_PARSED_SPANS}, p -> p.grp = '{kind}'), p -> p.txt)"
+    """SQL expr: all trimmed texts of spans with exactly this kind, in
+    order.  Coalesced: a NULL spans column yields [] like the arrow
+    twin (transform(NULL) would propagate NULL)."""
+    return (
+        f"coalesce(transform(filter({_PARSED_SPANS}, p -> p.grp = '{kind}'),"
+        " p -> p.txt), array())"
+    )
 
 
 def _group_expr(group: str, fields: dict[str, bool]) -> str:
@@ -228,36 +237,12 @@ def _make_birthdate_udf(today: datetime.date | None = None):
 
     @pandas_udf(T.StringType())
     def parse_birthdate(vals: pd.Series) -> pd.Series:
-        from dateutil.parser import parse, parserinfo
-
-        class PivotInfo(parserinfo):
-            def convertyear(self, year, *args):
-                if year < 100:
-                    year += (pinned.year // 100) * 100
-                    if year > pinned.year:
-                        year -= 100
-                return year
-
-        info = PivotInfo()
-        upper = datetime.datetime(pinned.year, pinned.month, pinned.day, 23, 59, 59)
-        lower = datetime.datetime(1850, 1, 1)
-        # pin the missing-component fill too (see _make_birthdate_parser:
-        # without an explicit default, dateutil takes it from the real
-        # wall clock and the pin does not actually pin partial dates)
-        fill = datetime.datetime(pinned.year, pinned.month, pinned.day)
-
-        def one(v):
-            if v is None or not str(v).strip():
-                return None
-            try:
-                d = parse(str(v), info, default=fill)
-            except (ValueError, OverflowError):
-                return None
-            if d > upper or d < lower:
-                return None
-            return d.date().isoformat()
-
-        return vals.map(one)
+        # ONE construction site for the pivot/fill/bounds logic: this
+        # UDF wraps the plain-Python twin so a future fix cannot land
+        # in only one of the two (they already share one subtle fix —
+        # the missing-component ``default`` pin); built once per Arrow
+        # batch call, not per row
+        return vals.map(_make_birthdate_parser(pinned))
 
     return parse_birthdate
 
@@ -449,8 +434,14 @@ def _py_norm_race(v: str | None) -> str:
     return "OTHER"
 
 
+_ASCII_DIGITS = frozenset("0123456789")
+
+
 def _py_norm_phone(v: str) -> str:
-    digits = "".join(c for c in v if c.isdigit())
+    # ASCII [0-9] only, like the SQL twin's regexp: str.isdigit() also
+    # accepts Unicode digits ('²', Arabic-Indic numerals), which would
+    # make the two engines normalize the same phone differently
+    digits = "".join(c for c in v if c in _ASCII_DIGITS)
     if len(digits) == 11 and digits.startswith("1"):
         return digits[1:]
     return digits
@@ -461,7 +452,7 @@ def _py_norm_identifier_value(value: str | None, typ: str | None) -> str | None:
         typ == "SS"
         and value is not None
         and len(value) == 9
-        and value.isdigit()
+        and all(c in _ASCII_DIGITS for c in value)  # SQL twin: ^[0-9]{9}$
     ):
         return f"{value[0:3]}-{value[3:5]}-{value[5:9]}"
     return value
@@ -530,18 +521,24 @@ def _decode_spans(spans) -> dict:
     race: list[str] = []
     groups: dict[str, dict[int, dict]] = {g: {} for g in _GROUP_FIELDS}
 
-    for s in spans:
+    for s in spans if spans is not None else ():  # NULL spans: empty record
         kind = s["kind"]
         text = s["text"]
+        if kind is None:  # SQL twin's instr/case yields no match; skip
+            continue
         if kind == "media":
             continue
-        if kind in ("external_id", "birth_date", "sex"):
-            scalars.setdefault(kind, _py_trim(text))
+        # match on the BRACKET-STRIPPED base like the SQL twin's `grp`
+        # (it strips '[...]' before comparing): 'birth_date[0]' must
+        # parse as birth_date on both engines, not silently drop here
+        bracket = kind.find("[")
+        base = kind[:bracket] if bracket > 0 else kind
+        if base in ("external_id", "birth_date", "sex"):
+            scalars.setdefault(base, _py_trim(text))
             continue
-        if kind == "race":
+        if base == "race":
             race.append(_py_trim(text))
             continue
-        bracket = kind.find("[")
         if bracket <= 0:
             continue
         group = kind[:bracket]

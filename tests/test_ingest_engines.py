@@ -81,3 +81,38 @@ def test_engines_match_on_synth(spark):
     s = parse_documents_sql(docs, PINNED)
     mism = _diff(a, s)
     assert mism == [], mism[:3]
+
+
+def test_degenerate_spans_parity(spark):
+    """NULL spans column, NULL kind, malformed/indexed span kinds: both
+    engines must produce the SAME record (previously the arrow engine
+    crashed on NULL spans/kind and dropped 'birth_date[0]'; the SQL
+    engine died on 'name[x].given' under the ANSI cast)."""
+    from recordlinker_spark.sources.ingest import (
+        parse_documents_arrow,
+        parse_documents_sql,
+    )
+
+    schema = (
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    rows = [
+        ("n1", None),
+        ("n2", [{"kind": None, "text": "x", "media_ref": "", "offset": 0}]),
+        ("n3", [{"kind": "birth_date[0]", "text": "1990-01-02",
+                 "media_ref": "", "offset": 0},
+                {"kind": "race[1]", "text": "WHITE", "media_ref": "", "offset": 1}]),
+        ("n4", [{"kind": "name[x].given", "text": "Bad", "media_ref": "", "offset": 0},
+                {"kind": "name[0].family", "text": "Good", "media_ref": "", "offset": 1}]),
+    ]
+    docs = spark.createDataFrame(rows, schema)
+    a = {r["record_id"]: r.asDict() for r in parse_documents_arrow(docs).collect()}
+    s = {r["record_id"]: r.asDict() for r in parse_documents_sql(docs).collect()}
+    assert set(a) == set(s) == {"n1", "n2", "n3", "n4"}
+    for rid in a:
+        da, ds = dict(a[rid]), dict(s[rid])
+        da.pop("spans"), ds.pop("spans")
+        assert da == ds, rid
+    assert a["n3"]["birth_date"] == "1990-01-02"
+    assert a["n4"]["name"][0]["family"] == "Good"
