@@ -375,7 +375,13 @@ def candidate_pairs(
     agree = F.lit(True)
     for k in keys:
         l, r = F.col(f"bk_l_{k}"), F.col(f"bk_r_{k}")
+        # coalesce(size, 0): under ANSI size(NULL) is NULL, which would
+        # make the whole predicate NULL and silently DROP the pair —
+        # J4's contract is the opposite (a key agrees when either side
+        # is missing); same defense as missingness_filter above
         agree = agree & (
-            (F.size(l) <= 0) | (F.size(r) <= 0) | F.arrays_overlap(l, r)
+            (F.coalesce(F.size(l), F.lit(0)) <= 0)
+            | (F.coalesce(F.size(r), F.lit(0)) <= 0)
+            | F.arrays_overlap(l, r)
         )
     return pairs.filter(agree).select("record_id_l", "person_id", "record_id_r")

@@ -607,9 +607,13 @@ def neardup_keep_best(
         F.lpad(F.col("doc_id_l").cast("string"), pad, "0").alias("src"),
         F.lpad(F.col("doc_id_r").cast("string"), pad, "0").alias("dst"),
     )
+    # try_cast here: for non-numeric ids the padded label strings can't
+    # cast back, and under ANSI a bare cast would race the raise_error
+    # guard in `base` with a less actionable CAST_INVALID_INPUT — keep
+    # that guard the single deterministic failure path
     labels = connected_components(edges).select(
-        F.col("record_id").cast("long").alias("doc_id"),
-        F.col("component").cast("long").alias("_comp"),
+        F.expr("try_cast(record_id as long)").alias("doc_id"),
+        F.expr("try_cast(component as long)").alias("_comp"),
     )
     labeled = base.join(labels, "doc_id", "left").withColumn(
         "component", F.coalesce(F.col("_comp"), F.col("doc_id"))

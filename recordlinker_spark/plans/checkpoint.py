@@ -45,10 +45,12 @@ class StageRunner:
         os.makedirs(run_dir, exist_ok=True)
         self.manifest_path = os.path.join(run_dir, "MANIFEST.jsonl")
         self._done: dict[str, dict] = {}
+        self._records: list[dict] = []
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as fh:
                 for line in fh:
                     rec = json.loads(line)
+                    self._records.append(rec)
                     if rec.get("status") == "complete":
                         self._done[rec["stage"]] = rec
 
@@ -61,6 +63,47 @@ class StageRunner:
 
     def completed(self, name: str) -> bool:
         return name in self._done
+
+    def validate_inputs(
+        self, fingerprint: dict, ignore: tuple[str, ...] = ()
+    ) -> None:
+        """Enforce the 'same inputs' precondition of resume, the same
+        way connected_components' CC manifest does: the first run
+        records a fingerprint of its inputs; a later run with the same
+        run_dir but a DIFFERENT fingerprint is refused while completed
+        stages exist — without this, re-using a run_dir with new inputs
+        silently returns the previous inputs' checkpointed stages as
+        the new inputs' answer (no error, wrong results).
+
+        :param ignore: fingerprint keys exempt from the comparison —
+            for inputs the remaining (un-checkpointed) work no longer
+            reads, e.g. an MPI the job itself appended to after its
+            last MPI-reading stage completed."""
+        prior = [r for r in self._records if r.get("kind") == "inputs"]
+        if prior:
+            pf = prior[-1].get("fp") or {}
+            diff = [
+                k
+                for k in set(pf) | set(fingerprint)
+                if k not in ignore and pf.get(k) != fingerprint.get(k)
+            ]
+            if not diff:
+                return
+            if self._done:
+                raise ValueError(
+                    f"run_dir {self.run_dir!r} holds checkpointed stages "
+                    f"for different inputs (fingerprint keys {sorted(diff)}: "
+                    f"{pf} != {fingerprint}); use a new "
+                    "run_dir or clear this one"
+                )
+        rec = {
+            "job_id": self.job_id,
+            "kind": "inputs",
+            "fp": fingerprint,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        self._append_manifest(rec)
+        self._records.append(rec)
 
     def stage(
         self,
@@ -192,6 +235,35 @@ def checkpointed_link_job(
     from recordlinker_spark.sources.ingest import parse_documents
 
     runner = StageRunner(spark, run_dir)
+
+    # same-inputs precondition, enforced: fingerprint the documents
+    # (id + spans), the MPI snapshot (id -> person), and the algorithm
+    # config before touching any checkpointed stage.  One narrow
+    # aggregation scan per table at job start buys refusal instead of
+    # silently serving a previous input's decisions.
+    import hashlib
+
+    def dffp(df: DataFrame, cols: str) -> list:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"bit_xor(xxhash64({cols}))").alias("h"),
+        ).collect()[0]
+        return [row["n"], row["h"]]
+
+    # once 'decisions' is checkpointed, nothing that still runs reads
+    # the MPI (the CLI's mpi_append side effect joins checkpointed
+    # stages only) — and the job's own append has CHANGED the MPI, so
+    # holding the fingerprint would refuse idempotent re-runs of a
+    # completed job and crash-window resumes of the append itself
+    ignore = ("mpi",) if runner.completed("decisions") else ()
+    runner.validate_inputs(
+        {
+            "documents": dffp(documents, "doc_id, spans"),
+            "mpi": dffp(mpi_patients, "record_id, person_id"),
+            "algorithm": hashlib.md5(repr(algorithm).encode()).hexdigest(),
+        },
+        ignore=ignore,
+    )
 
     records = runner.stage("ingest", lambda: parse_documents(documents))
     inc_feats, inc_bk = prepare_incoming(records.drop("_part_id"), algorithm)

@@ -60,17 +60,27 @@ def _spark() -> SparkSession:
     )
 
 
-def _read_mpi(spark: SparkSession, path: str) -> DataFrame:
+def _restore_swap(path: str) -> None:
+    """Crash recovery for the _rewrite_mpi swap: a crash between its two
+    renames leaves the data only in <path>.old — restore it before
+    reading so readers never see a missing table (an Iceberg catalog
+    target needs none of this; see sinks/catalog.py).  Shared by every
+    table that _rewrite_mpi swaps: the MPI and the persons registry."""
     import os
 
-    # crash recovery for the _rewrite_mpi swap: a crash between its two
-    # renames leaves the data only in <path>.old — restore it before
-    # reading so readers never see a missing table (an Iceberg catalog
-    # target needs none of this; see sinks/catalog.py)
     old = path.rstrip("/") + ".old"
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
     shutil.rmtree(path.rstrip("/") + ".tmp", ignore_errors=True)
+
+
+def _read_persons(spark: SparkSession, path: str) -> DataFrame:
+    _restore_swap(path)
+    return spark.read.parquet(path)
+
+
+def _read_mpi(spark: SparkSession, path: str) -> DataFrame:
+    _restore_swap(path)
     from pyspark.errors import AnalysisException
 
     try:
@@ -157,7 +167,14 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
             spark.read.option("wholetext", "true")
             .text(args.documents)
             .select(
-                F.input_file_name().alias("doc_id"),
+                # BASENAME, not the full input_file_name() URI: record
+                # ids persisted to the MPI must not depend on where the
+                # bundle directory was mounted (file:// vs hdfs://, a
+                # remount, a copy) or re-linking the same bundles would
+                # miss the dedup and re-append every patient
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("doc_id"),
                 F.col("value").alias("bundle"),
             )
         )
@@ -243,37 +260,49 @@ def job_cluster(spark: SparkSession, args) -> None:
 
     algorithm = _algorithm(args)
     records = parse_documents(spark.read.parquet(args.documents)).cache()
-    # self-linkage: every record probes against every record
-    inc_feats, inc_bk = prepare_incoming(records, algorithm)
-    selfmpi = records.withColumn("person_id", F.col("record_id"))
-    mpi_feats, mpi_bk = prepare_mpi(selfmpi, algorithm)
+    try:
+        # self-linkage: every record probes against every record
+        inc_feats, inc_bk = prepare_incoming(records, algorithm)
+        selfmpi = records.withColumn("person_id", F.col("record_id"))
+        mpi_feats, mpi_bk = prepare_mpi(selfmpi, algorithm)
 
-    edges = None
-    for algorithm_pass in algorithm.passes:
-        pairs = candidate_pairs(inc_bk, mpi_bk, algorithm, algorithm_pass).filter(
-            F.col("record_id_l") < F.col("record_id_r")
-        )
-        scored = score_pairs(
-            attach_pair_features(pairs, inc_feats, mpi_feats, algorithm_pass),
-            algorithm,
-            algorithm_pass,
-        )
-        _, cmt = algorithm_pass.possible_match_window
-        max_points = algorithm.max_points(algorithm_pass)
-        certain = scored.filter(
-            F.col("score") / F.lit(max_points) >= F.lit(cmt)
-        ).select("record_id_l", "record_id_r")
-        edges = certain if edges is None else edges.unionByName(certain)
+        edges = None
+        for algorithm_pass in algorithm.passes:
+            # != (not <): candidate generation is PROBE-sided — the J2
+            # missingness gate and the build side's key-presence filter
+            # apply asymmetrically, so a pair may be reachable in only
+            # one direction (a sparse record probing a fuller one, never
+            # the reverse).  An l < r filter would permanently drop such
+            # edges whenever the reachable direction has the larger id;
+            # connected_components symmetrizes + dedups anyway, so the
+            # only thing < bought was halving scored rows — at the cost
+            # of id-order-dependent clusters.
+            pairs = candidate_pairs(
+                inc_bk, mpi_bk, algorithm, algorithm_pass
+            ).filter(F.col("record_id_l") != F.col("record_id_r"))
+            scored = score_pairs(
+                attach_pair_features(pairs, inc_feats, mpi_feats, algorithm_pass),
+                algorithm,
+                algorithm_pass,
+            )
+            _, cmt = algorithm_pass.possible_match_window
+            max_points = algorithm.max_points(algorithm_pass)
+            certain = scored.filter(
+                F.col("score") / F.lit(max_points) >= F.lit(cmt)
+            ).select("record_id_l", "record_id_r")
+            edges = certain if edges is None else edges.unionByName(certain)
 
-    # optional pre-assigned clusters (M4): seeded labels merge with
-    # batch matches through the sentinel edges in assign_persons
-    seed_labels = None
-    if getattr(args, "labels", None):
-        seed_labels = spark.read.parquet(args.labels).select(
-            "record_id", "person_id"
-        )
-    labels = assign_persons(records, edges, seed_labels=seed_labels)
-    labels.write.mode("overwrite").parquet(args.out)
+        # optional pre-assigned clusters (M4): seeded labels merge with
+        # batch matches through the sentinel edges in assign_persons
+        seed_labels = None
+        if getattr(args, "labels", None):
+            seed_labels = spark.read.parquet(args.labels).select(
+                "record_id", "person_id"
+            )
+        labels = assign_persons(records, edges, seed_labels=seed_labels)
+        labels.write.mode("overwrite").parquet(args.out)
+    finally:
+        records.unpersist()
 
 
 def _write_tune_manifest(path: str, manifest: dict) -> None:
@@ -326,6 +355,21 @@ def job_tune(spark: SparkSession, args) -> None:
             n_true_pairs=args.n_pairs,
             n_non_pairs=args.n_pairs,
         )
+        results = {
+            "log_odds": result.log_odds,
+            "bounds": {k: list(v) for k, v in result.bounds.items()},
+            "true_pairs": result.true_pairs,
+            "non_pairs": result.non_pairs,
+        }
+        # results write INSIDE the state machine and atomic (tmp +
+        # replace): a failure here (missing dir, disk full,
+        # unserializable value) must transition the manifest to
+        # failed, not strand it at 'running' with a truncated results
+        # file beside it
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(results, fh, indent=2)
+        os.replace(tmp, args.out)
     except Exception as exc:
         manifest.update(
             status="failed",
@@ -334,14 +378,6 @@ def job_tune(spark: SparkSession, args) -> None:
         )
         _write_tune_manifest(manifest_path, manifest)
         raise
-    results = {
-        "log_odds": result.log_odds,
-        "bounds": {k: list(v) for k, v in result.bounds.items()},
-        "true_pairs": result.true_pairs,
-        "non_pairs": result.non_pairs,
-    }
-    with open(args.out, "w") as fh:
-        json.dump(results, fh, indent=2)
     manifest.update(status="completed", results=results, finished_at=now())
     _write_tune_manifest(manifest_path, manifest)
 
@@ -410,7 +446,7 @@ def job_delete(spark: SparkSession, args) -> None:
                 f"Persons still have patients: {sorted(with_patients)}"
             )
         if getattr(args, "persons", None):
-            persons = spark.read.parquet(args.persons)
+            persons = _read_persons(spark, args.persons)
             before = persons.count()
             kept_persons = persons.filter(~F.col("person_id").isin(ids))
             report["persons_deleted"] = before - kept_persons.count()
@@ -512,7 +548,7 @@ def job_orphans(spark: SparkSession, args) -> None:
         ],
     }
     if getattr(args, "persons", None):
-        persons = spark.read.parquet(args.persons).select("person_id").distinct()
+        persons = _read_persons(spark, args.persons).select("person_id").distinct()
         orphan_persons = persons.join(
             mpi.select("person_id").filter(F.col("person_id").isNotNull()),
             "person_id",
@@ -579,6 +615,28 @@ def main(argv: list[str] | None = None) -> None:
             "(the POST /link/fhir analog)",
         )
     args = p.parse_args(argv)
+    # per-subcommand required flags (the shared parser accepts every
+    # flag everywhere, so argparse's required= machinery can't express
+    # this): fail with a usage message instead of a TypeError on
+    # args.out + '...' or an obscure path=None deep inside Spark
+    _REQUIRED = {
+        "seed": ("documents", "labels", "mpi"),
+        "link": ("documents", "mpi", "out"),
+        "match": ("documents", "mpi", "out"),
+        "cluster": ("documents", "out"),
+        "tune": ("mpi", "out"),
+        "reset": ("mpi",),
+        "orphans": ("mpi",),
+        "delete": ("mpi",),
+        "update": ("mpi",),
+    }
+    missing = [
+        f"--{name.replace('_', '-')}"
+        for name in _REQUIRED[args.cmd]
+        if not getattr(args, name, None)
+    ]
+    if missing:
+        p.error(f"{args.cmd} requires {' '.join(missing)}")
     spark = _spark()
     if args.cmd == "seed":
         job_seed(spark, args)

@@ -62,7 +62,7 @@ def test_checkpointed_link_job_resume(spark, tmp_path):
     d2 = checkpointed_link_job(spark, docs, empty_mpi, alg, run_dir)
     rows2 = {r["record_id"]: r["final_grade"] for r in d2.collect()}
     assert rows1 == rows2
-    stages = {json.loads(l)["stage"] for l in open(f"{run_dir}/MANIFEST.jsonl")}
+    stages = {r["stage"] for r in map(json.loads, open(f"{run_dir}/MANIFEST.jsonl")) if "stage" in r}
     assert {"ingest", "pass0_pairs", "pass0_scores", "decisions"} <= stages
 
 
@@ -105,3 +105,30 @@ def test_connected_components_resumes_from_checkpoint(spark, tmp_path):
         for r in connected_components(edges, checkpoint_dir=cc_dir).collect()
     }
     assert labels3 == labels1
+
+
+def test_run_dir_refuses_different_inputs(spark, tmp_path):
+    """Reusing a run_dir with different documents must refuse, not
+    silently return the previous inputs' checkpointed decisions."""
+    import pytest as _pytest
+
+    from recordlinker_spark.config import dibbs_default
+    from recordlinker_spark.plans.checkpoint import checkpointed_link_job
+
+    run_dir = str(tmp_path / "run")
+    docs1 = spark.createDataFrame(
+        docs_to_rows([("r0", SIX_PATIENTS[0], [])]), DOCUMENTS_SCHEMA
+    )
+    docs2 = spark.createDataFrame(
+        docs_to_rows([("r9", SIX_PATIENTS[1], [])]), DOCUMENTS_SCHEMA
+    )
+    from recordlinker_spark.sources.ingest import parse_documents
+
+    mpi = parse_documents(docs1).withColumn("person_id", F.lit("p0"))
+    alg = dibbs_default()
+    checkpointed_link_job(spark, docs1, mpi, alg, run_dir).count()
+    # same inputs: resume fine
+    checkpointed_link_job(spark, docs1, mpi, alg, run_dir).count()
+    # different documents: refused
+    with _pytest.raises(ValueError, match="different inputs"):
+        checkpointed_link_job(spark, docs2, mpi, alg, run_dir)

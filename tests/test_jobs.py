@@ -331,7 +331,7 @@ def test_link_job_run_dir_checkpoints_and_resumes(spark, tmp_path):
     assert spark.read.parquet(mpi_dir).count() == 3
 
     with open(f"{run_dir}/MANIFEST.jsonl") as fh:
-        stages = [json.loads(line)["stage"] for line in fh if line.strip()]
+        stages = [r["stage"] for r in map(json.loads, fh) if "stage" in r]
     assert "ingest" in stages and "decisions" in stages
     assert stages.count("mpi_append") == 1
 
@@ -339,7 +339,7 @@ def test_link_job_run_dir_checkpoints_and_resumes(spark, tmp_path):
     jobs.job_link(spark, A(**args))
     assert spark.read.parquet(mpi_dir).count() == 3
     with open(f"{run_dir}/MANIFEST.jsonl") as fh:
-        stages = [json.loads(line)["stage"] for line in fh if line.strip()]
+        stages = [r["stage"] for r in map(json.loads, fh) if "stage" in r]
     assert stages.count("mpi_append") == 1
     assert stages.count("decisions") == 1
 
