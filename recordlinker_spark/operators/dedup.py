@@ -599,6 +599,15 @@ def neardup_keep_best(
     cand = minhash_lsh_pairs(
         docs, text_col, num_hashes, bands, seed, max_bucket_size, k
     )
+    # materialize the candidate set ONCE (same pattern as the blocking
+    # census): the verify stage references its input ~4x (member
+    # pruning x2, probe join, zero-overlap left join) with different
+    # partitionings, so no exchange is reused and the whole
+    # signature+banding pipeline would re-run per reference — measured
+    # 3.5x the wall of this entire query at sf0.1.  Banding caps bound
+    # the checkpointed size; blocks are reclaimed by the periodic-GC
+    # cleaner like every other localCheckpoint here.
+    cand = cand.localCheckpoint(eager=True)
     verified = ngram_jaccard_pairs(docs, cand, text_col, k, jaccard_threshold)
     # connected_components labels with the LEXICOGRAPHIC min id; zero-pad
     # so that equals the numeric min (doc ids are non-negative longs)
