@@ -64,7 +64,7 @@ PII_COLS = [
 
 @dataclasses.dataclass
 class LinkOutput:
-    decisions: DataFrame  # record_id, final_grade, person_id, best_rms, pass
+    decisions: DataFrame  # record_id, final_grade, person_id, best_rms, matching_pass_label
     results: DataFrame  # reported LinkResults (certain/possible clusters)
     new_patients: DataFrame  # incoming records with assigned person_id + spans
     pair_scores: DataFrame | None = None  # per-pass scored pairs (debug/tuning)
@@ -256,6 +256,15 @@ def link_batch(
     decisions, results = decide(
         folded, incoming, algorithm.context.include_multiple_matches
     )
+    # decisions is ONE narrow row per incoming record, yet every other
+    # output hangs off it — without this cache a caller consuming
+    # decisions and then new_patients (the streaming sink and job_link
+    # both do, per micro-batch/run) re-executes the entire
+    # blocking+scoring+fold+decide pipeline for the second action.
+    # Caching the tiny end frame costs one materialization of rows the
+    # first action computes anyway.
+    decisions = decisions.cache()
+    cached.append(decisions)
 
     new_patients = incoming.join(
         decisions.select("record_id", "person_id"), "record_id"

@@ -57,7 +57,17 @@ def replay_link(
 
     :returns: (per-record decisions, final MPI rows incl. person_id).
     """
-    rows = {r["record_id"]: r for r in records.collect()}
+    import collections
+
+    collected = records.collect()
+    rows = {r["record_id"]: r for r in collected}
+    if len(rows) != len(collected):
+        # the dict would silently keep only the LAST row per id and the
+        # harness would replay fewer records than supplied — parity
+        # claims must not quietly cover partial data
+        counts = collections.Counter(r["record_id"] for r in collected)
+        dupes = sorted(rid for rid, n in counts.items() if n > 1)
+        raise ValueError(f"duplicate record_ids in replay input: {dupes}")
     ordered = list(order) if order is not None else sorted(rows)
 
     mpi_rows: list[Row] = []
@@ -75,7 +85,11 @@ def replay_link(
                 person_id=decision["person_id"],
                 best_rms=decision["best_rms"],
                 matching_pass_label=decision["matching_pass_label"],
-                results=sorted(results, key=lambda r: -r["rms"]),
+                # person_id tiebreak: equal-rms results otherwise land
+                # in Spark task order, flipping results[0] across runs
+                results=sorted(
+                    results, key=lambda r: (-r["rms"], r["person_id"] or "")
+                ),
             )
         )
         mpi_rows.extend(out.new_patients.collect())

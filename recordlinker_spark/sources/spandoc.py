@@ -54,35 +54,54 @@ def pii_to_spans(
     emit("external_id", record.get("external_id"))
     emit("birth_date", record.get("birth_date"))
     emit("sex", record.get("sex"))
-    for i, name in enumerate(record.get("name", [])):
-        for g in name.get("given", []):
+    for i, name in enumerate(record.get("name") or []):
+        for g in name.get("given") or []:
             emit(f"name[{i}].given", g)
         emit(f"name[{i}].family", name.get("family"))
-        for s in name.get("suffix", []):
+        for s in name.get("suffix") or []:
             emit(f"name[{i}].suffix", s)
         emit(f"name[{i}].use", name.get("use"))
-    for i, addr in enumerate(record.get("address", [])):
-        for line in addr.get("line", []):
+    for i, addr in enumerate(record.get("address") or []):
+        for line in addr.get("line") or []:
             emit(f"address[{i}].line", line)
         emit(f"address[{i}].city", addr.get("city"))
         emit(f"address[{i}].state", addr.get("state"))
         emit(f"address[{i}].postal_code", addr.get("postal_code"))
         emit(f"address[{i}].county", addr.get("county"))
-    for i, tel in enumerate(record.get("telecom", [])):
+    for i, tel in enumerate(record.get("telecom") or []):
         emit(f"telecom[{i}].value", tel.get("value"))
         emit(f"telecom[{i}].system", tel.get("system"))
-    for r in record.get("race", []):
+    for r in record.get("race") or []:
         emit("race", r)
-    for i, ident in enumerate(record.get("identifiers", [])):
+    for i, ident in enumerate(record.get("identifiers") or []):
         emit(f"identifier[{i}].type", ident.get("type"))
         emit(f"identifier[{i}].value", ident.get("value"))
         emit(f"identifier[{i}].authority", ident.get("authority"))
 
-    # interleave media spans at requested positions
+    # interleave media spans at requested positions.  Ascending
+    # insertion with a running offset (+j for the j media already
+    # placed) keeps the documented order: same-position media stay in
+    # listing order, and positions clamped past the end append in
+    # listing order too (the previous descending insertion REVERSED
+    # both cases).
     full: list[tuple[str, str, str]] = list(out)
-    for pos, uri in sorted(media_refs, key=lambda x: x[0], reverse=True):
-        full.insert(min(pos, len(full)), ("media", "", uri))
+    media_sorted = sorted(
+        enumerate(media_refs), key=lambda x: (x[1][0], x[0])
+    )
+    for j, (_, (pos, uri)) in enumerate(media_sorted):
+        full.insert(min(pos + j, len(full)), ("media", "", uri))
     return [(k, t, m, off) for off, (k, t, m) in enumerate(full)]
+
+
+def spans_to_rows(spans: typing.Sequence[Span]) -> list[dict]:
+    """Span tuples -> spans-column struct dicts — the ONE place that
+    knows the struct field layout (synth.py and docs_to_rows both build
+    through here, so the synthetic corpus cannot drift from the fixture
+    encoding)."""
+    return [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for (k, t, m, o) in spans
+    ]
 
 
 def docs_to_rows(
@@ -92,10 +111,7 @@ def docs_to_rows(
     return [
         {
             "doc_id": doc_id,
-            "spans": [
-                {"kind": k, "text": t, "media_ref": m, "offset": o}
-                for (k, t, m, o) in pii_to_spans(record, media_refs)
-            ],
+            "spans": spans_to_rows(pii_to_spans(record, media_refs)),
         }
         for doc_id, record, media_refs in docs
     ]

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from recordlinker_spark.schemas import DOCUMENTS_SCHEMA
-from recordlinker_spark.sources.spandoc import pii_to_spans
+from recordlinker_spark.sources.spandoc import pii_to_spans, spans_to_rows
 
 _FIRST = [
     "james", "mary", "robert", "patricia", "john", "jennifer", "michael",
@@ -165,14 +165,10 @@ def _gen_person_docs(
             (rng.randint(0, 8), f"media://blob/{person_idx}/{dup_idx}/{m}")
             for m in range(rng.randint(0, 3))
         ]
-        spans = pii_to_spans(rec, media)
         yield {
             "doc_id": f"d{person_idx:09d}-{dup_idx}",
             "person_key": f"person-{person_idx}",
-            "spans": [
-                {"kind": k, "text": t, "media_ref": m, "offset": o}
-                for (k, t, m, o) in spans
-            ],
+            "spans": spans_to_rows(pii_to_spans(rec, media)),
         }
 
 
