@@ -65,8 +65,8 @@ SESSION_SCHEMA = StructType(
 #: the open session's interval and running aggregates.  (A previous
 #: layout stored the open session's full event arrays; a never-quiet
 #: user grew it without bound.  Resuming a checkpoint written by that
-#: layout fails loudly on the state-schema mismatch — wipe and
-#: reprocess.)
+#: layout — or by the pre-r5 double-sum layout — fails loudly on the
+#: state-schema mismatch — wipe and reprocess.)
 _STATE_SCHEMA = StructType(
     [
         StructField("seq", LongType()),
@@ -74,15 +74,23 @@ _STATE_SCHEMA = StructType(
         StructField("end_us", LongType()),
         StructField("n_events", LongType()),
         StructField("n_nonnull", LongType()),
-        StructField("sum_value", DoubleType()),
+        StructField("sum_micros", LongType()),
     ]
 )
 
 
 def sessionize(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
     """Batch sessionization: ``user_id, session_seq, session_start,
-    session_end, n_events, sum_value`` (epochs floored to seconds, sums
-    rounded to 6 — the oracle-comparison convention).
+    session_end, n_events, sum_value`` (epochs floored to seconds).
+
+    ``sum_value`` is computed in EXACT integer microunits —
+    ``sum(round(value*1e6) as long) / 1e6`` — so the result is
+    bit-identical regardless of aggregation order, engine, or
+    partitioning (float partial-sum order was the last
+    nondeterminism); an all-NULL-value session emits 0.0, never NULL
+    (NULL would round-trip as NaN through Arrow and break
+    hash-equality with a SQL oracle).  The streaming kernel and the
+    DuckDB oracle follow the identical convention.
 
     lag -> new-session flag -> running sum = session ordinal, then one
     groupBy; ties broken by event_id so the plan is deterministic."""
@@ -109,7 +117,13 @@ def sessionize(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
                 "session_end"
             ),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            (
+                F.coalesce(
+                    F.sum(F.round(F.col("value") * 1_000_000).cast("long")),
+                    F.lit(0).cast("long"),
+                )
+                / F.lit(1_000_000.0)
+            ).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -127,10 +141,28 @@ def _round6(v: float) -> float:
     double's shortest decimal representation (java BigDecimal.valueOf
     + setScale).  Python's builtin ``round`` is half-to-even on the
     BINARY value, which diverges on decimal half-points — e.g.
-    round(0.0078125, 6) = 0.007812 but F.round gives 0.007813 — and
-    the stream/batch twins are asserted row-identical."""
+    round(0.0078125, 6) = 0.007812 but F.round gives 0.007813.
+    Production sums now go through exact ``_value_micros`` longs; this
+    stays as the documented/tested model of F.round's rounding mode
+    (test_sessions.test_round6_matches_spark_half_up) on which
+    ``_value_micros`` relies."""
     return float(
         Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _value_micros(v: float) -> int:
+    """Python twin of the batch twin's ``F.round(value * 1e6)
+    .cast("long")``: multiply in IEEE double FIRST (matching Spark's
+    expression tree — the product, not the operand, is what gets
+    rounded), then HALF_UP over the product's shortest decimal
+    representation (java BigDecimal.valueOf + setScale(0,
+    HALF_UP)).  Summing these longs is exact, so the stream/batch
+    twins and the SQL oracle agree bit-for-bit in any order."""
+    return int(
+        Decimal(repr(v * 1_000_000.0)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
     )
 
 
@@ -162,23 +194,26 @@ def _sessionize_group(
     batch's rows, emit every session that closed, keep the last open.
 
     Each session is a segment ``[start, end, n_events, n_nonnull,
-    sum]``; batch events are unit segments; merging segments whose
-    start is within ``gap_us`` of the running end is exactly the
+    sum_micros]``; batch events are unit segments; merging segments
+    whose start is within ``gap_us`` of the running end is exactly the
     full-event-list split (events can extend or fill a session, never
-    split one), with O(1) state per user."""
-    # segments: [start_us, end_us, n_events, n_nonnull, sum_value]
+    split one), with O(1) state per user.  Sums are EXACT integer
+    microunits (``_value_micros``) so partial-merge order cannot
+    perturb the result."""
+    # segments: [start_us, end_us, n_events, n_nonnull, sum_micros]
     segs: list[list] = []
     next_seq = 1
     if state.exists:
         seq0, start_us, end_us, n_ev, n_nn, sv = state.get
         next_seq = seq0
-        segs.append([start_us, end_us, n_ev, n_nn, sv or 0.0])
+        segs.append([start_us, end_us, n_ev, n_nn, sv or 0])
     for pdf in pdfs:
         ts = _ts_to_micros(pdf["ts"], tz)
         # NULL event values arrive as NaN through astype(float); the
-        # batch twin's F.sum skips NULLs (all-NULL -> NULL), so the
-        # kernel must do the same or the twins diverge on the first
-        # null value (NaN would otherwise poison the whole sum).
+        # batch twin's F.sum skips NULLs (contributing 0 micros, and
+        # an all-NULL session coalesces to 0.0), so the kernel must do
+        # the same or the twins diverge on the first null value (NaN
+        # would otherwise poison the whole sum).
         # Known limit: Arrow hands the kernel float64 ndarrays, which
         # fold SQL NULL and a literal double NaN into the same NaN —
         # the kernel treats both as NULL, while the batch twin's F.sum
@@ -187,7 +222,7 @@ def _sessionize_group(
         # event source emits deliberately.
         for t, v in zip(ts.tolist(), pdf["value"].astype(float).tolist()):
             nn = 0 if math.isnan(v) else 1
-            segs.append([t, t, 1, nn, v if nn else 0.0])
+            segs.append([t, t, 1, nn, _value_micros(v) if nn else 0])
     cols = [f.name for f in SESSION_SCHEMA.fields]
     if not segs:
         yield pd.DataFrame(columns=cols)
@@ -213,7 +248,7 @@ def _sessionize_group(
                 s[0] // 1_000_000,
                 s[1] // 1_000_000,
                 s[2],
-                _round6(s[4]) if s[3] else None,
+                s[4] / 1_000_000.0,
             )
         )
         next_seq += 1

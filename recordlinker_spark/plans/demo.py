@@ -869,17 +869,21 @@ def oracle_queries() -> dict[str, str]:
             window w as (partition by user_id order by ts, event_id)
         ), sess as (
             select user_id, ts, value,
-                   sum(new_s) over (
+                   -- cast: duckdb windowed sum(int) is HUGEINT, which
+                   -- pandas-based normalizers coerce to float64
+                   -- ("5.0" vs spark's "5") — bigint in both engines
+                   cast(sum(new_s) over (
                        partition by user_id order by ts, event_id
                        rows unbounded preceding
-                   ) as session_seq
+                   ) as bigint) as session_seq
             from ordered
         )
         select user_id, session_seq,
                cast(floor(epoch(min(ts))) as bigint) as session_start,
                cast(floor(epoch(max(ts))) as bigint) as session_end,
                count(*) as n_events,
-               round(sum(value), 6) as sum_value
+               coalesce(sum(cast(round(value * 1000000) as bigint)), 0)
+                   / 1000000.0 as sum_value
         from sess
         group by 1, 2
     """

@@ -102,6 +102,10 @@ def test_batch_sessionize_matches_python_reference(spark):
 def _summary(cur):
     import calendar
 
+    from recordlinker_spark.operators.sessions import _value_micros
+
     start = int(calendar.timegm(cur[0][0].utctimetuple()))
     end = int(calendar.timegm(cur[-1][0].utctimetuple()))
-    return (start, end, len(cur), round(sum(v for _, v in cur), 6))
+    # exact-integer-micros convention, same as both sessionize twins
+    micros = sum(_value_micros(v) for _, v in cur if v is not None)
+    return (start, end, len(cur), micros / 1_000_000.0)

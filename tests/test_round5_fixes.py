@@ -186,8 +186,10 @@ class _FakeState:
 
 def test_sessionize_kernel_null_values_match_batch_twin(spark):
     """NULL event values arrive in the kernel as NaN; the batch twin's
-    F.sum skips NULLs (all-NULL -> NULL), so the kernel must skip NaN
-    and emit None for an all-null session — not a NaN-poisoned sum."""
+    F.sum skips NULLs (all-NULL coalesces to 0.0), so the kernel must
+    skip NaN and emit 0.0 for an all-null session — not a NaN-poisoned
+    sum, and never None/NaN (the NULL-vs-NaN Arrow round-trip was the
+    last hash-nondeterminism in the oracle gate)."""
     import datetime as dt
 
     import pandas as pd
@@ -213,7 +215,7 @@ def test_sessionize_kernel_null_values_match_batch_twin(spark):
     )
     batch = {r["session_seq"]: r["sum_value"]
              for r in sessionize(ev, gap_minutes=30.0).collect()}
-    assert batch[1] == 1.0 and batch[2] is None
+    assert batch[1] == 1.0 and batch[2] == 0.0
 
     pdf = pd.DataFrame({
         "ts": pd.to_datetime([r[1] for r in rows]),
@@ -222,7 +224,7 @@ def test_sessionize_kernel_null_values_match_batch_twin(spark):
     (out,) = _sessionize_group((1,), [pdf], _FakeState(), 30 * 60_000_000)
     got = dict(zip(out["session_seq"], out["sum_value"]))
     assert got[1] == 1.0
-    assert got[2] is None or (isinstance(got[2], float) and pd.isna(got[2]))
+    assert got[2] == 0.0 and not pd.isna(got[2])
     # the poisoned implementation returned NaN for session 1 too
     assert not pd.isna(got[1])
 

@@ -158,3 +158,55 @@ def test_round6_matches_spark_half_up(spark):
         for r in df.select(F.round(F.col("v"), 6).alias("r")).collect()
     ]
     assert got == [_round6(v) for v in vals]
+
+
+def test_value_micros_matches_spark_expression(spark):
+    """_value_micros must reproduce F.round(value * 1e6).cast('long')
+    bit-for-bit — multiply in IEEE double first, then HALF_UP over the
+    product's shortest decimal repr — since the streaming kernel's
+    integer sums are asserted identical to the batch twin's."""
+    from recordlinker_spark.operators.sessions import _value_micros
+
+    vals = [
+        0.1, 0.0078125, -0.0078125, 2.5e-7, -2.5e-7, 1.0000005,
+        0.1234565, 123.456789, 0.0, 1e-7, 9.9999995, 1234.5678915,
+        -0.9999995, 3.0000001, 7.25, 1e-8,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r["m"]
+        for r in df.select(
+            F.round(F.col("v") * 1_000_000).cast("long").alias("m")
+        ).collect()
+    ]
+    assert got == [_value_micros(v) for v in vals]
+
+
+def test_sessionize_sum_is_order_and_partition_invariant(spark):
+    """The integer-micros sum must hash-match across shuffle-partition
+    counts and input row orders — the exact degree of freedom that made
+    the float-sum version nondeterministic between engines."""
+    import datetime as dt
+    import random
+
+    from recordlinker_spark.operators.sessions import sessionize
+
+    rng = random.Random(5)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i * 60), 1, "e",
+         round(rng.uniform(0, 10), 6) if i % 7 else None, None)
+        for i in range(500)
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    base = None
+    for order, parts in [(rows, 1), (rows[::-1], 7), (rows[250:] + rows[:250], 32)]:
+        ev = spark.createDataFrame(order, schema).repartition(parts)
+        got = sorted(
+            (r["user_id"], r["session_seq"], r["sum_value"].hex())
+            for r in sessionize(ev, gap_minutes=30.0).collect()
+        )
+        if base is None:
+            base = got
+        assert got == base
