@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from recordlinker_spark.config import Algorithm, dibbs_default
-from recordlinker_spark.plans.replay import MPI_SCHEMA
+from recordlinker_spark.plans.replay import MPI_SCHEMA, mpi_projection
 from recordlinker_spark.sinks.catalog import TableTarget
 from recordlinker_spark.sources.ingest import parse_documents
 
@@ -133,7 +133,7 @@ def job_seed(spark: SparkSession, args) -> None:
     records = parse_documents(spark.read.parquet(args.documents))
     labels = spark.read.parquet(args.labels)
     out = records.join(labels, "record_id")
-    _mpi_target(args).append(out.select(*[f.name for f in MPI_SCHEMA.fields]))
+    _mpi_target(args).append(mpi_projection(out))
 
 
 def job_link(spark: SparkSession, args, persist: bool = True) -> None:
@@ -180,7 +180,20 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
         )
         records = parse_fhir_bundles(bundles)
     else:
-        records = parse_documents(spark.read.parquet(args.documents))
+        docs_df = spark.read.parquet(args.documents)
+        records = parse_documents(docs_df)
+        if "external_person_id" in docs_df.columns:
+            # batch analog of the link request's optional
+            # external_person_id (reference schemas/link.py:29-33): a
+            # document-level column rides along into the MPI insert
+            records = records.join(
+                docs_df.select(
+                    F.col("doc_id").alias("record_id"),
+                    "external_person_id",
+                ),
+                "record_id",
+                "left",
+            )
     mpi = _read_mpi_t(spark, target)
     # cache_intermediate only when a SECOND consumer of the
     # blocking+scoring DAG exists (the MPI append and/or the FHIR
@@ -201,9 +214,7 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
                 bundles, spark.read.parquet(args.out), records
             ).write.mode("overwrite").parquet(args.out.rstrip("/") + ".fhir")
         if persist:
-            target.append(
-                out.new_patients.select(*[f.name for f in MPI_SCHEMA.fields])
-            )
+            target.append(mpi_projection(out.new_patients))
     finally:
         # release even when a write raises: a long-lived driver that
         # catches and retries would otherwise accumulate cached
@@ -244,9 +255,7 @@ def _job_link_checkpointed(
             new_patients = records.join(
                 decisions.select("record_id", "person_id"), "record_id"
             )
-            target.append(
-                new_patients.select(*[f.name for f in MPI_SCHEMA.fields])
-            )
+            target.append(mpi_projection(new_patients))
 
         runner.side_effect("mpi_append", append_new_patients)
 
@@ -486,13 +495,21 @@ def job_update(spark: SparkSession, args) -> None:
     report: dict = {}
     if getattr(args, "documents", None):
         updated = parse_documents(spark.read.parquet(args.documents))
-        replaced = updated.join(mpi.select("record_id", "person_id"), "record_id")
+        # carry person assignment AND external-person metadata over
+        # from the stored patient: an update replaces PII, not the
+        # client's person identifier (the reference's patient update
+        # leaves external_person_id/source untouched)
+        replaced = updated.join(
+            mpi.select(
+                "record_id", "person_id",
+                "external_person_id", "external_person_source",
+            ),
+            "record_id",
+        )
         report["patients_updated"] = replaced.count()
         kept = mpi.join(updated.select("record_id"), "record_id", "left_anti")
         target.overwrite(
-            kept.unionByName(
-                replaced.select(*[f.name for f in MPI_SCHEMA.fields])
-            )
+            kept.unionByName(mpi_projection(replaced))
         )
         mpi = _read_mpi_t(spark, target)
     if getattr(args, "record_ids", None):

@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, Row, SparkSession
 
 from recordlinker_spark.config import Algorithm
 from recordlinker_spark.operators.linkjob import link_batch
-from recordlinker_spark.schemas import PII_FIELDS, PII_SCHEMA, SPAN_TYPE
+from recordlinker_spark.schemas import (
+    EXTERNAL_PERSON_FIELDS,
+    EXTERNAL_PERSON_SOURCE,
+    PII_FIELDS,
+    PII_SCHEMA,
+    SPAN_TYPE,
+)
 
 import pyspark.sql.types as T
 
@@ -34,7 +40,31 @@ MPI_SCHEMA = T.StructType(
         T.StructField("spans", T.ArrayType(SPAN_TYPE)),
         T.StructField("person_id", T.StringType()),
     ]
+    + EXTERNAL_PERSON_FIELDS
 )
+
+
+def mpi_projection(df: DataFrame) -> DataFrame:
+    """Project ``df`` onto the MPI columns, defaulting the
+    external-person metadata the reference persists on every insert
+    (database/mpi_service.py:255-258): a missing ``external_person_id``
+    column becomes NULL, and ``external_person_source`` is derived as
+    the fixed "IRIS" label iff an identifier is present — matching the
+    reference's invariant — unless the frame already carries a source
+    column (rows read back from an MPI keep theirs)."""
+    from pyspark.sql import functions as F
+
+    if "external_person_id" not in df.columns:
+        df = df.withColumn("external_person_id", F.lit(None).cast("string"))
+    if "external_person_source" not in df.columns:
+        df = df.withColumn(
+            "external_person_source",
+            F.when(
+                F.col("external_person_id").isNotNull(),
+                F.lit(EXTERNAL_PERSON_SOURCE),
+            ),
+        )
+    return df.select(*[f.name for f in MPI_SCHEMA.fields])
 
 
 @dataclasses.dataclass
@@ -92,7 +122,7 @@ def replay_link(
                 ),
             )
         )
-        mpi_rows.extend(out.new_patients.collect())
+        mpi_rows.extend(mpi_projection(out.new_patients).collect())
         # release this step's cached projections: replay calls
         # link_batch once per record, and without this the block
         # manager accumulates 4 cached frames per step

@@ -78,6 +78,18 @@ PII_FIELDS = [
 
 PII_SCHEMA = T.StructType(PII_FIELDS + [T.StructField("spans", T.ArrayType(SPAN_TYPE))])
 
+# Client-supplied person metadata persisted alongside PII on every MPI
+# insert (reference: src/recordlinker/models/mpi.py:44-50 columns,
+# database/mpi_service.py:188-210,255-258 insert paths): an external
+# person identifier plus its source label, which the reference fixes
+# to "IRIS" whenever an identifier is present and leaves NULL
+# otherwise.
+EXTERNAL_PERSON_SOURCE = "IRIS"
+EXTERNAL_PERSON_FIELDS = [
+    T.StructField("external_person_id", T.StringType()),
+    T.StructField("external_person_source", T.StringType()),
+]
+
 # ------------------------------------------------------------- mpi / outputs
 # patients: pii columns + cluster label. person_id is a string label
 # (seeded cluster id or minted CC label), not an auto-increment.

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from recordlinker_spark.config import Algorithm
 from recordlinker_spark.operators.linkjob import link_batch
-from recordlinker_spark.plans.replay import MPI_SCHEMA
+from recordlinker_spark.plans.replay import MPI_SCHEMA, mpi_projection
 from recordlinker_spark.sources.ingest import parse_documents
 
 
@@ -213,9 +213,9 @@ class IncrementalLinker:
             out.decisions.write.mode("overwrite").parquet(
                 self._batch_dir(batch_id)
             )
-            out.new_patients.select(
-                *[f.name for f in MPI_SCHEMA.fields]
-            ).write.mode("append").parquet(self.mpi_dir)
+            mpi_projection(out.new_patients).write.mode(
+                "append"
+            ).parquet(self.mpi_dir)
         finally:
             # the sink is the longest-running loop caller of link_batch:
             # without the release every micro-batch leaks its cached

@@ -381,3 +381,48 @@ def test_update_person_merge_and_create(spark, tmp_path, capsys):
     jobs.job_update(spark, A(mpi=mpi_dir, record_ids="r3,r2"))
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["person_created"] == minted
+
+
+def test_external_person_id_round_trip(spark, tmp_path):
+    """external_person_id / external_person_source survive seed ->
+    link -> MPI (reference models/mpi.py:44-50 columns; source fixed
+    to 'IRIS' iff an id is present, mpi_service.py:255-258)."""
+    docs_dir = str(tmp_path / "docs")
+    labels_dir = str(tmp_path / "labels")
+    mpi_dir = str(tmp_path / "mpi")
+    out_dir = str(tmp_path / "decisions")
+
+    seeded = [SIX_PATIENTS[0], SIX_PATIENTS[2]]
+    spark.createDataFrame(
+        docs_to_rows([(f"r{i}", p, []) for i, p in enumerate(seeded)]),
+        DOCUMENTS_SCHEMA,
+    ).write.parquet(docs_dir)
+    # r0's seed cluster carries a client-side person id; r1's does not
+    spark.createDataFrame(
+        [("r0", "p0", "EXT-7"), ("r1", "p1", None)],
+        "record_id string, person_id string, external_person_id string",
+    ).write.parquet(labels_dir)
+    jobs.job_seed(spark, A(documents=docs_dir, labels=labels_dir, mpi=mpi_dir))
+
+    got = {
+        r["record_id"]: (r["external_person_id"], r["external_person_source"])
+        for r in spark.read.parquet(mpi_dir).collect()
+    }
+    assert got == {"r0": ("EXT-7", "IRIS"), "r1": (None, None)}
+
+    # link a new record whose document carries an external_person_id
+    # column (batch analog of the link request field, link.py:29-33)
+    link_docs = str(tmp_path / "link_docs")
+    docs = spark.createDataFrame(
+        docs_to_rows([("x1", SIX_PATIENTS[1], [])]), DOCUMENTS_SCHEMA
+    ).withColumn("external_person_id", F.lit("EXT-9"))
+    docs.write.parquet(link_docs)
+    jobs.job_link(spark, A(documents=link_docs, mpi=mpi_dir, out=out_dir))
+
+    mpi = {
+        r["record_id"]: (r["external_person_id"], r["external_person_source"])
+        for r in spark.read.parquet(mpi_dir).collect()
+    }
+    assert mpi["x1"] == ("EXT-9", "IRIS")
+    # seeded rows unchanged
+    assert mpi["r0"] == ("EXT-7", "IRIS") and mpi["r1"] == (None, None)
