@@ -35,6 +35,7 @@ import io
 import struct
 import typing
 import wave
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -220,6 +221,113 @@ def _decode_pnm(buf: bytes, dim: int) -> dict:
     }
 
 
+def _png_unfilter(
+    filters: np.ndarray, rows: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reverse the per-row PNG filters (spec §9: None/Sub/Up/Average/
+    Paeth).  Sub is a per-lane cumulative sum and Up a vectorized add;
+    Average/Paeth carry a per-byte left-neighbor dependency, so those
+    rows fall back to a scalar scan — fine for the metadata/thumbnail
+    payloads this stage handles (full-rate decode is the documented
+    codec-library boundary)."""
+    height, row_bytes = rows.shape
+    out = np.zeros((height, row_bytes), np.int64)
+    prev = np.zeros(row_bytes, np.int64)
+    for y in range(height):
+        f = int(filters[y])
+        line = rows[y].astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub
+            rec = line.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(line[lane::bpp]) % 256
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average
+            rec = np.zeros(row_bytes, np.int64)
+            for i in range(row_bytes):
+                a = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + (a + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.zeros(row_bytes, np.int64)
+            for i in range(row_bytes):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (line[i] + pr) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _decode_png(buf: bytes, dim: int) -> dict:
+    """PNG via stdlib ``zlib`` only: chunk walk -> IDAT inflate ->
+    per-row unfilter; 8-bit gray / gray+alpha / RGB / RGBA / palette,
+    non-interlaced (Adam7 and 16-bit depth stay behind the codec
+    gate).  Same grayscale convention as the BMP branch: channel mean,
+    alpha ignored."""
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    plte: np.ndarray | None = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            (width, height, bit_depth, color_type, _comp, _filt,
+             interlace) = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8)[
+                : (len(data) // 3) * 3
+            ].reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, interlace={interlace})"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if nch is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
+    row_bytes = width * nch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < (row_bytes + 1) * height:
+        raise ValueError("PNG pixel data truncated")
+    scan = np.frombuffer(raw, np.uint8, (row_bytes + 1) * height).reshape(
+        height, row_bytes + 1
+    )
+    recon = _png_unfilter(scan[:, 0], scan[:, 1:], bpp=nch)
+    if color_type == 3:
+        idx = recon.reshape(height, width)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        gray = plte.astype(np.float32).mean(axis=1)[idx]
+    else:
+        px = recon.reshape(height, width, nch).astype(np.float32)
+        gray = px[..., 0] if nch <= 2 else px[..., :3].mean(axis=2)
+    return {
+        "width": width,
+        "height": height,
+        "feature": _pool(gray.ravel() / 255.0, dim),
+    }
+
+
 def _decode_wav(buf: bytes, dim: int) -> dict:
     """PCM WAV via the stdlib ``wave`` module: duration / rate /
     channels + a dim-segment RMS-energy envelope feature."""
@@ -253,6 +361,8 @@ def _decode_payload(payload: bytes, dim: int) -> dict | None:
     the format needs a codec library this container lacks."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload, dim)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload, dim)
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload, dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -265,11 +375,12 @@ def decode_features(
 ) -> DataFrame:
     """``mapInPandas`` decode -> fixed-dim feature vector + metadata.
 
-    Real decoders (pure stdlib + numpy, no codec libraries): BMP and
-    binary PGM/PPM images -> width/height + a mean-pooled grayscale
-    vector; PCM WAV audio -> duration/sample_rate/channels + an RMS
-    energy envelope.  Formats that genuinely need a codec library
-    (JPEG/PNG/MP3/video) fall back to a deterministic pseudo-decode of
+    Real decoders (pure stdlib + numpy, no codec libraries): BMP,
+    8-bit non-interlaced PNG, and binary PGM/PPM images ->
+    width/height + a mean-pooled grayscale vector; PCM WAV audio ->
+    duration/sample_rate/channels + an RMS energy envelope.  Formats
+    that genuinely need a codec library
+    (JPEG/MP3/video) fall back to a deterministic pseudo-decode of
     the payload bytes when ``fake=True``, else raise
     ``NotImplementedError`` — per-format, not blanket: a BMP/WAV
     payload decodes for real either way."""
@@ -299,7 +410,7 @@ def decode_features(
                     if not fake:
                         raise NotImplementedError(
                             "payload format needs a codec library not in "
-                            "this container (JPEG/PNG/MP3/video)"
+                            "this container (JPEG/MP3/video)"
                         )
                     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
                     if arr.size >= dim:

@@ -221,3 +221,148 @@ def test_streaming_incremental_link(spark, tmp_path):
         .groupBy("person_id").count().collect()
     )
     assert sizes == [1, 1, 1, 3]
+
+
+def _encode_png(pixels, color_type, filters, palette=None):
+    """Minimal PNG writer (test fixture): 8-bit depth, explicit per-row
+    filter types, forward-filtering computed here so the decoder's
+    unfilter pass is exercised for real."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.int64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    height, width, nch = px.shape
+    bpp = nch
+    flat = px.reshape(height, width * nch)
+    raw = bytearray()
+    prev = np.zeros(width * nch, np.int64)
+    for y, f in zip(range(height), filters):
+        line = flat[y]
+        if f == 0:
+            filt = line
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+            filt = (line - left) % 256
+        elif f == 2:
+            filt = (line - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+            filt = (line - (left + prev) // 2) % 256
+        elif f == 4:
+            filt = np.zeros(width * nch, np.int64)
+            for i in range(width * nch):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (line[i] - pr) % 256
+        raw += bytes([f]) + bytes(filt.astype(np.uint8))
+        prev = line
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(np.asarray(palette, np.uint8).ravel()))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decoder_all_filters_and_color_types(spark, tmp_path):
+    """The stdlib PNG decoder must invert every filter type (None/Sub/
+    Up/Average/Paeth) and handle gray / RGB / RGBA / gray+alpha /
+    palette at 8-bit depth; dim == n_pixels makes the pooled feature
+    the exact grayscale image."""
+    import numpy as np
+
+    from recordlinker_spark.operators.media import _decode_png
+
+    rng = np.random.RandomState(7)
+    h, w = 5, 6
+
+    # gray, all five filters, one per row
+    g = rng.randint(0, 256, size=(h, w))
+    got = _decode_png(_encode_png(g, 0, [0, 1, 2, 3, 4]), dim=h * w)
+    assert (got["width"], got["height"]) == (w, h)
+    assert np.allclose(got["feature"], (g.ravel() / 255.0), atol=1e-6)
+
+    # RGB with Paeth/Average-heavy filter mix
+    rgb = rng.randint(0, 256, size=(h, w, 3))
+    got = _decode_png(_encode_png(rgb, 2, [4, 3, 4, 1, 2]), dim=h * w)
+    want = rgb.astype(np.float64).mean(axis=2).ravel() / 255.0
+    assert np.allclose(got["feature"], want, atol=1e-5)
+
+    # RGBA: alpha ignored
+    rgba = rng.randint(0, 256, size=(h, w, 4))
+    got = _decode_png(_encode_png(rgba, 6, [1, 4, 0, 2, 3]), dim=h * w)
+    want = rgba[..., :3].astype(np.float64).mean(axis=2).ravel() / 255.0
+    assert np.allclose(got["feature"], want, atol=1e-5)
+
+    # gray+alpha: first channel only
+    ga = rng.randint(0, 256, size=(h, w, 2))
+    got = _decode_png(_encode_png(ga, 4, [2, 1, 4, 3, 0]), dim=h * w)
+    assert np.allclose(
+        got["feature"], ga[..., 0].ravel() / 255.0, atol=1e-6
+    )
+
+    # palette
+    pal = rng.randint(0, 256, size=(16, 3))
+    idx = rng.randint(0, 16, size=(h, w))
+    got = _decode_png(_encode_png(idx, 3, [0, 1, 2, 3, 4], palette=pal), dim=h * w)
+    want = pal.astype(np.float64).mean(axis=1)[idx].ravel() / 255.0
+    assert np.allclose(got["feature"], want, atol=1e-5)
+
+
+def test_png_end_to_end_real_fetch(spark, tmp_path):
+    """PNG joins BMP/PPM/WAV in the fake=False real-decode path."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(7, 13, 3))
+    (tmp_path / "p.png").write_bytes(_encode_png(img, 2, [0, 4, 1, 2, 3, 4, 1]))
+    refs = spark.createDataFrame(
+        [("d1", 0, str(tmp_path / "p.png"), "image")],
+        "doc_id string, media_idx int, media_ref string, media_type string",
+    )
+    (row,) = decode_features(
+        fetch_payloads(refs, fake=False), dim=8, fake=False
+    ).collect()
+    assert (row["width"], row["height"]) == (13, 7)
+    assert len(row["feature"]) == 8
+    assert all(0.0 <= f <= 1.0 for f in row["feature"])
+
+
+def test_png_unsupported_variants_stay_gated(spark):
+    """16-bit and interlaced PNGs must raise under fake=False (codec
+    gate), not silently mis-decode."""
+    import struct
+    import zlib as zl
+
+    import pytest
+
+    from recordlinker_spark.operators.media import _decode_png
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zl.crc32(c) & 0xFFFFFFFF
+        )
+
+    for depth, interlace in [(16, 0), (8, 1)]:
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
+        buf = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zl.compress(b"\x00" * 12))
+               + chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            _decode_png(buf, dim=4)
