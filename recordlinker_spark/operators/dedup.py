@@ -71,23 +71,6 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(col: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles of the normalized text, as an
-    array column.  NOTE: the ``transform`` lambda runs a
-    variable-position substring per element — interpreted, and known to
-    degrade with executor-thread count in this sandbox.  Prefer
-    :func:`exploded_shingles` in plans (generator + top-level substring,
-    whole-stage codegen); this column form remains for expression-level
-    composition."""
-    normed = _norm_text(col)
-    n = F.greatest(F.length(normed) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n), lambda i: F.substring(normed, i, k)
-        )
-    )
-
-
 def exploded_shingles(
     docs: DataFrame, text_col: str = "text", k: int = 5, distinct: bool = True
 ) -> DataFrame:
@@ -303,6 +286,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.7,
+    materialize_shingles: bool = False,
 ) -> DataFrame:
     """Exact character-k-shingle Jaccard for candidate pairs; keeps
     pairs with similarity >= threshold. Columns: doc_id_l, doc_id_r,
@@ -339,6 +323,16 @@ def ngram_jaccard_pairs(
     ex = exploded_shingles(
         docs.join(members, "doc_id", "left_semi"), text_col, k, distinct=True
     )
+    if materialize_shingles:
+        # the explode subtree feeds three branches below (sizes + both
+        # intersection sides) under DIFFERENT partitionings; reuse
+        # relies on Catalyst exchange-dedup of the dropDuplicates
+        # shuffle, which the member semi-join's runtime filters can
+        # defeat.  Callers whose candidate set is already materialized
+        # (neardup_keep_best checkpoints it) opt in to computing the
+        # member-pruned shingles ONCE — the frame is narrow (doc_id, s)
+        # rows bounded by the banding caps.
+        ex = ex.localCheckpoint(eager=True)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # pair x left-shingle rows, matched against the right side's shingles
     left = candidate_pairs.join(
@@ -608,7 +602,10 @@ def neardup_keep_best(
     # the checkpointed size; blocks are reclaimed by the periodic-GC
     # cleaner like every other localCheckpoint here.
     cand = cand.localCheckpoint(eager=True)
-    verified = ngram_jaccard_pairs(docs, cand, text_col, k, jaccard_threshold)
+    verified = ngram_jaccard_pairs(
+        docs, cand, text_col, k, jaccard_threshold,
+        materialize_shingles=True,
+    )
     # connected_components labels with the LEXICOGRAPHIC min id; zero-pad
     # so that equals the numeric min (doc ids are non-negative longs)
     pad = 20

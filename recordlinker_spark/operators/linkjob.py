@@ -79,6 +79,17 @@ class LinkOutput:
             df.unpersist()
         self.cached.clear()
 
+    # context-manager form: ``with link_batch(...) as out`` releases
+    # the cached projections even when consuming an output raises —
+    # loop callers (replay, the streaming sink) previously leaked
+    # cached MPI-sized frames on any exception between link_batch and
+    # the explicit unpersist()
+    def __enter__(self) -> "LinkOutput":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.unpersist()
+
 
 def _identifier_types(algorithm: Algorithm) -> list[str]:
     return sorted(

@@ -25,7 +25,10 @@ within a batch may be arbitrarily ordered, and a batch row older than
 the open session's end merges into it retroactively — adding events
 can only extend or fill a session, never split it, so interval-merge
 over (state ∪ batch) reproduces the full-event-list semantics with
-scalar state.
+scalar state.  The contract is ENFORCED, not assumed: a batch event
+more than ``gap`` older than the open session's start (i.e. one that
+could belong to an already-emitted session) raises instead of
+silently mis-sessionizing.
 
 Schema columns are fixed (``user_id, ts, value`` + ``event_id``
 tiebreak in the batch window) — rename upstream with ``select`` if
@@ -203,12 +206,33 @@ def _sessionize_group(
     # segments: [start_us, end_us, n_events, n_nonnull, sum_micros]
     segs: list[list] = []
     next_seq = 1
+    open_start_us: int | None = None
     if state.exists:
         seq0, start_us, end_us, n_ev, n_nn, sv = state.get
         next_seq = seq0
+        open_start_us = start_us
         segs.append([start_us, end_us, n_ev, n_nn, sv or 0])
     for pdf in pdfs:
         ts = _ts_to_micros(pdf["ts"], tz)
+        # cross-batch order contract, enforced: an event more than
+        # ``gap`` OLDER than the open session's start cannot merge
+        # into it — it belongs to an earlier session this operator may
+        # already have emitted and sealed, so silently sessionizing it
+        # would produce out-of-order ordinals and duplicate/overlapping
+        # sessions.  Fail loudly (the upstream fix is watermarking or
+        # per-user-ordered sources); events merely older than the open
+        # session's END still merge retroactively as documented.
+        if open_start_us is not None and len(ts) > 0:
+            batch_min = int(ts.min())
+            if batch_min < open_start_us - gap_us:
+                raise ValueError(
+                    f"out-of-order event for user {key[0]}: batch ts "
+                    f"{batch_min}us predates the open session's start "
+                    f"({open_start_us}us) by more than the "
+                    f"{gap_us}us gap; an earlier session may already "
+                    "be emitted — feed per-user time-ordered batches "
+                    "(e.g. a watermarked, ordered source)"
+                )
         # NULL event values arrive as NaN through astype(float); the
         # batch twin's F.sum skips NULLs (contributing 0 micros, and
         # an all-NULL session coalesces to 0.0), so the kernel must do

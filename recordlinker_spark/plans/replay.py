@@ -105,26 +105,27 @@ def replay_link(
     for rid in ordered:
         incoming = spark.createDataFrame([rows[rid]], PII_SCHEMA)
         mpi = spark.createDataFrame(mpi_rows, MPI_SCHEMA)
-        out = link_batch(incoming, mpi, algorithm)
-        decision = out.decisions.collect()[0]
-        results = out.results.collect()
-        steps.append(
-            ReplayStep(
-                record_id=rid,
-                final_grade=decision["final_grade"],
-                person_id=decision["person_id"],
-                best_rms=decision["best_rms"],
-                matching_pass_label=decision["matching_pass_label"],
-                # person_id tiebreak: equal-rms results otherwise land
-                # in Spark task order, flipping results[0] across runs
-                results=sorted(
-                    results, key=lambda r: (-r["rms"], r["person_id"] or "")
-                ),
+        # with-block: replay calls link_batch once per record; the
+        # exit releases this step's cached projections even when a
+        # collect raises, so the block manager never accumulates
+        # frames across steps
+        with link_batch(incoming, mpi, algorithm) as out:
+            decision = out.decisions.collect()[0]
+            results = out.results.collect()
+            steps.append(
+                ReplayStep(
+                    record_id=rid,
+                    final_grade=decision["final_grade"],
+                    person_id=decision["person_id"],
+                    best_rms=decision["best_rms"],
+                    matching_pass_label=decision["matching_pass_label"],
+                    # person_id tiebreak: equal-rms results otherwise
+                    # land in Spark task order, flipping results[0]
+                    # across runs
+                    results=sorted(
+                        results, key=lambda r: (-r["rms"], r["person_id"] or "")
+                    ),
+                )
             )
-        )
-        mpi_rows.extend(mpi_projection(out.new_patients).collect())
-        # release this step's cached projections: replay calls
-        # link_batch once per record, and without this the block
-        # manager accumulates 4 cached frames per step
-        out.unpersist()
+            mpi_rows.extend(mpi_projection(out.new_patients).collect())
     return steps, mpi_rows

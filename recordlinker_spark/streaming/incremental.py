@@ -203,25 +203,27 @@ class IncrementalLinker:
             .isEmpty()
         ):
             return
-        out = link_batch(records, mpi, self.algorithm, **self.block_kwargs)
         try:
-            # decisions land in a batch-scoped partition dir with
-            # overwrite: a replay that got past the guard (crash between
-            # the two writes) REPLACES its own partial output instead of
-            # appending a second copy; readers see batch_id as a
-            # partition column
-            out.decisions.write.mode("overwrite").parquet(
-                self._batch_dir(batch_id)
-            )
-            mpi_projection(out.new_patients).write.mode(
-                "append"
-            ).parquet(self.mpi_dir)
-        finally:
             # the sink is the longest-running loop caller of link_batch:
-            # without the release every micro-batch leaks its cached
-            # projections (the MPI-side ones grow with the MPI) into the
-            # block manager for the stream's lifetime
-            out.unpersist()
+            # the with-block releases every micro-batch's cached
+            # projections (the MPI-side ones grow with the MPI) even on
+            # a failed write, or they leak into the block manager for
+            # the stream's lifetime
+            with link_batch(
+                records, mpi, self.algorithm, **self.block_kwargs
+            ) as out:
+                # decisions land in a batch-scoped partition dir with
+                # overwrite: a replay that got past the guard (crash
+                # between the two writes) REPLACES its own partial
+                # output instead of appending a second copy; readers
+                # see batch_id as a partition column
+                out.decisions.write.mode("overwrite").parquet(
+                    self._batch_dir(batch_id)
+                )
+                mpi_projection(out.new_patients).write.mode(
+                    "append"
+                ).parquet(self.mpi_dir)
+        finally:
             # unpersist() can't reach everything: the salted blocking
             # path localCheckpoints its sampled census
             # (operators/blocking.py), and checkpoint blocks are only

@@ -210,3 +210,42 @@ def test_sessionize_sum_is_order_and_partition_invariant(spark):
         if base is None:
             base = got
         assert got == base
+
+
+def test_cross_batch_late_event_raises():
+    """Contract: a batch event more than gap OLDER than the open
+    session's start (it could belong to an already-emitted, sealed
+    session) must raise, not silently merge or mis-session."""
+    import pandas as pd
+    import pytest
+
+    from recordlinker_spark.operators.sessions import _sessionize_group
+
+    gap = 30 * 60_000_000
+
+    class _State:
+        exists = True
+        # open session started at t=10_000s (us), seq 3
+        get = (3, 10_000_000_000, 10_060_000_000, 2, 2, 5_000_000)
+
+        def update(self, v):
+            self.val = v
+
+    # an event 31 min before the open session's start -> earlier session
+    late = pd.DataFrame({
+        "ts": pd.to_datetime([10_000_000_000 - gap - 60_000_000], unit="us"),
+        "value": pd.array([1.0], dtype="float64"),
+    })
+    with pytest.raises(ValueError, match="out-of-order"):
+        list(_sessionize_group((7,), [late], _State(), gap))
+
+    # an event older than the open session's END but within gap of its
+    # start still merges retroactively (documented fill/extend)
+    ok = pd.DataFrame({
+        "ts": pd.to_datetime([10_000_000_000 - gap + 60_000_000], unit="us"),
+        "value": pd.array([2.0], dtype="float64"),
+    })
+    st = _State()
+    (out,) = _sessionize_group((7,), [ok], st, gap)
+    assert len(out) == 0  # still one open session, nothing closed
+    assert st.val[1] == 10_000_000_000 - gap + 60_000_000  # extended start
