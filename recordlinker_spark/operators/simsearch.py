@@ -259,13 +259,20 @@ def pick_nprobe(
     # EVERY query the shipped index serves, while the refinement costs
     # log2(nprobe) one-off sample evaluations here.
     nprobe, recall = 1, 0.0
+    last_below = 0  # largest nprobe MEASURED below the floor
     while True:
         recall = measure(nprobe)
         if recall >= recall_floor or nprobe >= max_probe:
             break
+        last_below = nprobe
         nprobe = min(nprobe * 2, max_probe)
     if recall >= recall_floor and nprobe > 1:
-        lo, hi = nprobe // 2 + 1, nprobe  # lo-1 measured below floor
+        # refine from the last measured-below point, not nprobe // 2:
+        # when the doubling clamped at max_probe (e.g. prev=8 ->
+        # min(16, 12) = 12), nprobe // 2 + 1 = 7 would re-measure 7-8,
+        # values already known to fail — each a full ivf_topk sample
+        # evaluation
+        lo, hi = last_below + 1, nprobe
         best, best_recall = nprobe, recall
         while lo < hi:
             mid = (lo + hi) // 2

@@ -96,6 +96,18 @@ class StageRunner:
                     f"{pf} != {fingerprint}); use a new "
                     "run_dir or clear this one"
                 )
+        elif self._done:
+            # completed stages but NO inputs record: a run_dir written
+            # by pre-fingerprint code (or a hand-pruned manifest).  The
+            # guard cannot tell whether those stages came from these
+            # inputs — recording the new fingerprint and resuming would
+            # be exactly the wrong-results hazard it exists to prevent.
+            raise ValueError(
+                f"run_dir {self.run_dir!r} holds checkpointed stages "
+                f"({sorted(self._done)}) but no inputs fingerprint; "
+                "cannot prove they match these inputs — use a new "
+                "run_dir or clear this one"
+            )
         rec = {
             "job_id": self.job_id,
             "kind": "inputs",

@@ -167,13 +167,22 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
             spark.read.option("wholetext", "true")
             .text(args.documents)
             .select(
-                # BASENAME, not the full input_file_name() URI: record
-                # ids persisted to the MPI must not depend on where the
-                # bundle directory was mounted (file:// vs hdfs://, a
-                # remount, a copy) or re-linking the same bundles would
-                # miss the dedup and re-append every patient
-                F.element_at(
-                    F.split(F.input_file_name(), "/"), -1
+                # record id = BASENAME + content hash, neither alone:
+                # the full input_file_name() URI made identities depend
+                # on where the directory was mounted (file:// vs
+                # hdfs://, a remount, a copy), so re-linking the same
+                # bundles missed the dedup and re-appended every
+                # patient; basename alone made two DIFFERENT bundles
+                # that happen to share a filename (patient.json from
+                # two directories, linked in separate runs) collide on
+                # record_id, and the MPI's dedup-on-read silently
+                # dropped one patient's data.  basename-md5(content)
+                # is mount-invariant AND collision-free: identical
+                # bundles still dedup, distinct ones never merge.
+                F.concat_ws(
+                    "-",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                    F.md5(F.col("value")),
                 ).alias("doc_id"),
                 F.col("value").alias("bundle"),
             )
@@ -229,9 +238,11 @@ def _job_link_checkpointed(
 ) -> None:
     """link/match with --run-dir: every pipeline stage checkpointed to
     the run directory with per-partition lineage + metrics
-    (plans/checkpoint.py); the MPI append is an at-most-once-per-run
-    side-effect stage (replay-tolerable: the store dedups record_ids
-    on read)."""
+    (plans/checkpoint.py); the MPI append is an at-least-once,
+    effectively-idempotent side-effect stage — a crash between the
+    append and the manifest fsync replays it on resume
+    (StageRunner.side_effect), and the store dedups record_ids on
+    read, so the replay is harmless."""
     from recordlinker_spark.plans.checkpoint import (
         StageRunner,
         checkpointed_link_job,

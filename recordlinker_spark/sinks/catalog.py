@@ -103,6 +103,35 @@ class TableTarget:
 
             _rewrite_mpi(df, self.ident)
 
+    @staticmethod
+    def _describe_shows_partitioning(rows) -> bool:
+        """Parse DESCRIBE TABLE output for a real partition field.
+
+        Only rows INSIDE a ``# Partition...`` section count ("#
+        Partitioning" for Iceberg/v2 tables, "# Partition Information"
+        for v1) — a data COLUMN whose name merely contains "Partition"
+        sits above any section header and must not satisfy the guard.
+        Iceberg renders unpartitioned tables as an explicit "Not
+        partitioned" row; v1 nests a "# col_name" subheader before the
+        field rows; any other "#" header ends the section."""
+        in_section = False
+        for r in rows:
+            name = (r["col_name"] or "").strip()
+            if name.startswith("# Partition"):
+                in_section = True
+                continue
+            if not in_section or not name:
+                continue
+            if name.startswith("#"):
+                if name.lower().startswith("# col_name"):
+                    continue
+                in_section = False  # next section (e.g. # Detailed Table…)
+                continue
+            if name.lower() == "not partitioned":
+                return False
+            return True  # a real partition-field row
+        return False
+
     def overwrite_partitions(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Dynamic partition overwrite — the idempotent re-run
         primitive for checkpointed stages (replaces only the partitions
@@ -117,14 +146,20 @@ class TableTarget:
         parquet fallback requires explicit ``partition_by`` columns."""
         if self.catalog:
             spark = df.sparkSession
+            from recordlinker_spark.errors import is_missing_table
+
             try:
                 rows = spark.sql(f"DESCRIBE TABLE {self.ident}").collect()
-                partitioned = any(
-                    "Partition" in (r["col_name"] or "") for r in rows
-                )
-            except Exception:
-                # table unreadable (first run / permissions): let the
-                # write itself surface the real error
+                partitioned = self._describe_shows_partitioning(rows)
+            except Exception as exc:
+                # ONLY a genuinely-missing table bypasses the guard
+                # (first run: the write itself surfaces the real
+                # error).  Any other DESCRIBE failure propagates — a
+                # broad pass-through would let a permissions blip or
+                # catalog hiccup skip straight to the whole-table swap
+                # this guard exists to prevent.
+                if not is_missing_table(exc):
+                    raise
                 partitioned = True
             if not partitioned:
                 raise ValueError(

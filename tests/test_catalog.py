@@ -52,9 +52,63 @@ def test_catalog_overwrite_is_one_atomic_swap(spark, writeto_spy):
     ]
 
 
-def test_catalog_overwrite_partitions(spark, writeto_spy):
+def _stub_describe(spark, monkeypatch, col_names):
+    """Route DESCRIBE TABLE to canned rows (no Iceberg catalog in this
+    sandbox); other SQL passes through."""
+    class _Desc:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def collect(self):
+            return self._rows
+
+    real_sql = type(spark).sql
+
+    def fake_sql(self, q, *a, **kw):
+        if q.strip().upper().startswith("DESCRIBE TABLE"):
+            return _Desc([{"col_name": n} for n in col_names])
+        return real_sql(self, q, *a, **kw)
+
+    monkeypatch.setattr(type(spark), "sql", fake_sql, raising=True)
+
+
+def test_catalog_overwrite_partitions(spark, writeto_spy, monkeypatch):
     df = spark.range(3)
+    _stub_describe(spark, monkeypatch,
+                   ["id", "", "# Partitioning", "Part 0"])
     TableTarget("cat.db.stage", catalog=True).overwrite_partitions(df)
+    assert writeto_spy == [("overwritePartitions", "cat.db.stage")]
+
+
+def test_catalog_overwrite_partitions_unpartitioned_refused(
+    spark, writeto_spy, monkeypatch
+):
+    """Iceberg's 'Not partitioned' DESCRIBE row must refuse the dynamic
+    overwrite — on an unpartitioned table it swaps the WHOLE table."""
+    df = spark.range(3)
+    _stub_describe(spark, monkeypatch,
+                   ["id", "", "# Partitioning", "Not partitioned"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        TableTarget("cat.db.stage", catalog=True).overwrite_partitions(df)
+    assert writeto_spy == []
+
+
+def test_catalog_overwrite_partitions_missing_table_passes_through(
+    spark, writeto_spy, monkeypatch
+):
+    """A TABLE_OR_VIEW_NOT_FOUND DESCRIBE (first run) defers to the
+    write itself for the real error."""
+    real_sql = type(spark).sql
+
+    def fake_sql(self, q, *a, **kw):
+        if q.strip().upper().startswith("DESCRIBE TABLE"):
+            raise Exception("[TABLE_OR_VIEW_NOT_FOUND] no such table")
+        return real_sql(self, q, *a, **kw)
+
+    monkeypatch.setattr(type(spark), "sql", fake_sql, raising=True)
+    TableTarget("cat.db.stage", catalog=True).overwrite_partitions(
+        spark.range(3)
+    )
     assert writeto_spy == [("overwritePartitions", "cat.db.stage")]
 
 
@@ -97,3 +151,54 @@ def test_jobs_catalog_mode_uses_writeto(spark, tmp_path, writeto_spy, monkeypatc
 
     jobs.job_seed(spark, A())
     assert writeto_spy == [("append", "cat.db.mpi")]
+
+
+def test_describe_partitioning_parser():
+    """The unpartitioned-table guard must read the # Partition...
+    SECTION, not substring-match 'Partition' anywhere: a data column
+    named 'PartitionKey' is not partitioning, Iceberg's explicit 'Not
+    partitioned' row means unpartitioned, and v1's '# col_name'
+    subheader must be skipped."""
+    class _DescRow(dict):
+        def __init__(self, name):
+            super().__init__(col_name=name)
+
+    f = TableTarget._describe_shows_partitioning
+
+    # data column containing 'Partition', no section -> unpartitioned
+    assert not f([_DescRow("id"), _DescRow("PartitionKey")])
+    # Iceberg v2: explicit Not partitioned
+    assert not f([_DescRow("id"), _DescRow(""),
+                  _DescRow("# Partitioning"), _DescRow("Not partitioned")])
+    # Iceberg v2: real partition field
+    assert f([_DescRow("id"), _DescRow(""),
+              _DescRow("# Partitioning"), _DescRow("Part 0")])
+    # v1: subheader then field row
+    assert f([_DescRow("id"), _DescRow(""),
+              _DescRow("# Partition Information"),
+              _DescRow("# col_name"), _DescRow("ds")])
+    # section ends at the next header; Detailed Table rows don't count
+    assert not f([_DescRow("id"), _DescRow(""),
+                  _DescRow("# Partitioning"), _DescRow("Not partitioned"),
+                  _DescRow(""), _DescRow("# Detailed Table Information"),
+                  _DescRow("Name")])
+    # empty describe -> not partitioned (guard refuses, write can't swap)
+    assert not f([])
+
+
+def test_overwrite_partitions_unreadable_catalog_raises(spark, writeto_spy, monkeypatch):
+    """A DESCRIBE failure that is NOT table-missing must propagate —
+    the old broad except treated any failure as 'partitioned' and let
+    the whole-table swap through."""
+    class _Boom(Exception):
+        pass
+
+    def boom(q):
+        raise _Boom("permission denied listing catalog")
+
+    monkeypatch.setattr(type(spark), "sql", lambda self, q: boom(q), raising=True)
+    with pytest.raises(_Boom):
+        TableTarget("cat.db.stage", catalog=True).overwrite_partitions(
+            spark.range(3)
+        )
+    assert writeto_spy == []  # the guard fired before any write

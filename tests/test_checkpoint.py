@@ -132,3 +132,31 @@ def test_run_dir_refuses_different_inputs(spark, tmp_path):
     # different documents: refused
     with _pytest.raises(ValueError, match="different inputs"):
         checkpointed_link_job(spark, docs2, mpi, alg, run_dir)
+
+
+def test_pre_fingerprint_run_dir_refused(spark, tmp_path):
+    """A run_dir holding completed stages but NO inputs fingerprint
+    (written by pre-fingerprint code, or a hand-pruned manifest) must
+    be refused: the guard cannot prove those stages match these inputs,
+    and resuming them was exactly the wrong-results hazard it
+    prevents."""
+    import pytest
+
+    run_dir = str(tmp_path / "legacy_run")
+    r1 = StageRunner(spark, run_dir)
+    r1.stage(
+        "s1",
+        lambda: spark.range(3).select(
+            F.col("id").cast("string").alias("record_id")
+        ),
+    )
+    # note: r1 never recorded an inputs fingerprint (legacy layout)
+
+    r2 = StageRunner(spark, run_dir)
+    assert r2.completed("s1")
+    with pytest.raises(ValueError, match="no inputs fingerprint"):
+        r2.validate_inputs({"documents": "path_a"})
+
+    # a FRESH run_dir with no stages records the fingerprint quietly
+    r3 = StageRunner(spark, str(tmp_path / "fresh_run"))
+    r3.validate_inputs({"documents": "path_a"})

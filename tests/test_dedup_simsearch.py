@@ -515,3 +515,40 @@ def test_duplicated_candidate_pairs_are_deduped(spark):
     )
     rows = ngram_jaccard_pairs(docs, cand, threshold=0.0).collect()
     assert len(rows) == 1 and abs(rows[0]["jaccard"] - 1.0) < 1e-12
+
+
+def test_pick_nprobe_refinement_never_remeasures_failures(monkeypatch):
+    """The binary refinement must bracket from the LAST below-floor
+    gallop point — re-measuring values the doubling phase already saw
+    fail wastes a full ivf_topk sample evaluation each."""
+    import recordlinker_spark.operators.simsearch as ss
+
+    class _Fake:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def collect(self):
+            return self._rows
+
+    truth = [{"query_id": 0, "vec_id": i} for i in range(10)]
+    measured = []
+
+    def fake_brute(corpus, queries, k, id_col, vec_col):
+        return _Fake(truth)
+
+    def fake_ivf(corpus, queries, k, dim, nbits, seed, nprobe,
+                 max_bucket_size, id_col, vec_col, rank_planes):
+        measured.append(nprobe)
+        # recall crosses the 0.9 floor at nprobe = 3
+        n_hit = 10 if nprobe >= 3 else nprobe * 2
+        return _Fake(truth[:n_hit])
+
+    monkeypatch.setattr(ss, "brute_force_topk", fake_brute)
+    monkeypatch.setattr(ss, "ivf_topk", fake_ivf)
+    best, recall = ss.pick_nprobe(
+        corpus=None, sample_queries=None, k=10, nbits=4, recall_floor=0.9
+    )
+    assert (best, recall) == (3, 1.0)
+    # gallop 1, 2 (fail), 4 (pass) then refine measures ONLY 3
+    assert measured == [1, 2, 4, 3]
+    assert len(measured) == len(set(measured))  # no re-measurement

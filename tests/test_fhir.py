@@ -223,8 +223,9 @@ def test_link_fhir_job(spark, tmp_path):
         persist=True,
     )
     assert spark.read.parquet(out).count() == 2
+    # doc_id = basename-md5(content): strip the 32-hex content hash
     fh = {
-        os.path.basename(r["doc_id"]): r
+        os.path.basename(r["doc_id"]).rsplit("-", 1)[0]: r
         for r in spark.read.parquet(out + ".fhir").collect()
     }
     assert set(fh) == {"b1.json", "b2.json"}
@@ -280,3 +281,49 @@ def test_degenerate_bundles_yield_all_missing_records(spark):
     assert set(rows) == {"b1", "b2", "b3", "b4"}
     for r in rows.values():
         assert r["birth_date"] is None and r["name"] in ([], None)
+
+
+def test_link_fhir_record_ids_are_content_qualified(spark, tmp_path):
+    """Two DIFFERENT bundles sharing a filename (patient.json from two
+    directories, linked in separate runs) must not collide on
+    record_id — basename-only ids made the MPI's dedup-on-read silently
+    drop one patient; re-linking an IDENTICAL bundle must still dedup."""
+    from recordlinker_spark.plans import jobs
+
+    class A:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    mpi = str(tmp_path / "mpi")
+    p1 = {
+        "resourceType": "Patient", "id": "pat-A", "gender": "female",
+        "birthDate": "1980-03-04",
+        "name": [{"family": "Smith", "given": ["Ann"], "use": "official"}],
+    }
+    p2 = {
+        "resourceType": "Patient", "id": "pat-B", "gender": "male",
+        "birthDate": "1955-07-08",
+        "name": [{"family": "Nguyen", "given": ["Bo"], "use": "official"}],
+    }
+    for i, p in enumerate([p1, p2]):
+        d = tmp_path / f"dir{i}"
+        d.mkdir()
+        (d / "patient.json").write_text(_bundle(p))
+        jobs.job_link(
+            spark,
+            A(documents=str(d), mpi=mpi,
+              out=str(tmp_path / f"dec{i}"), fhir=True),
+            persist=True,
+        )
+    assert spark.read.parquet(mpi).count() == 2  # no silent drop
+
+    # idempotence: re-link dir0's identical bundle -> still 2 patients
+    jobs.job_link(
+        spark,
+        A(documents=str(tmp_path / "dir0"), mpi=mpi,
+          out=str(tmp_path / "dec2"), fhir=True),
+        persist=True,
+    )
+    from recordlinker_spark.plans.jobs import _read_mpi
+
+    assert _read_mpi(spark, mpi).count() == 2
