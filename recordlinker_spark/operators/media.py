@@ -4,11 +4,13 @@ The input documents interleave media spans (``kind='media'``,
 ``media_ref`` an opaque URI) with text spans; linkage ignores them but
 a training-data pipeline needs to move, decode, and featurize them.
 This module provides the Spark-side plumbing — schemas, partitioning,
-batch shapes — with the actual codec calls STUBBED (image/audio
-libraries are not in this container): ``decode_media`` raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic synthetic decode so the distributed path is fully
-testable.
+batch shapes — plus REAL pure-stdlib decoders for BMP, 8-bit PNG,
+baseline JPEG (operators/jpeg.py), binary PGM/PPM, and PCM WAV.  Only
+formats that genuinely need a codec library this container lacks
+(progressive JPEG, MP3, video) stay stubbed: ``decode_features``
+raises ``NotImplementedError`` for them unless ``fake=True``, which
+substitutes a deterministic synthetic decode so the distributed path
+is fully testable.
 
 Operators:
 
@@ -328,6 +330,21 @@ def _decode_png(buf: bytes, dim: int) -> dict:
     }
 
 
+def _decode_jpeg(buf: bytes, dim: int) -> dict:
+    """Baseline JPEG via operators/jpeg.py (pure stdlib + numpy —
+    marker parse, Huffman, dequant, IDCT); the gray pipeline only
+    needs the luma plane, so chroma blocks are entropy-skipped.
+    Progressive/arithmetic/12-bit raise and stay codec-gated."""
+    from recordlinker_spark.operators.jpeg import decode_jpeg_gray
+
+    width, height, gray = decode_jpeg_gray(buf)
+    return {
+        "width": width,
+        "height": height,
+        "feature": _pool(gray.ravel() / 255.0, dim),
+    }
+
+
 def _decode_wav(buf: bytes, dim: int) -> dict:
     """PCM WAV via the stdlib ``wave`` module: duration / rate /
     channels + a dim-segment RMS-energy envelope feature."""
@@ -363,6 +380,8 @@ def _decode_payload(payload: bytes, dim: int) -> dict | None:
         return _decode_bmp(payload, dim)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload, dim)
+    if payload[:3] == b"\xff\xd8\xff":
+        return _decode_jpeg(payload, dim)
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload, dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -376,11 +395,11 @@ def decode_features(
     """``mapInPandas`` decode -> fixed-dim feature vector + metadata.
 
     Real decoders (pure stdlib + numpy, no codec libraries): BMP,
-    8-bit non-interlaced PNG, and binary PGM/PPM images ->
-    width/height + a mean-pooled grayscale vector; PCM WAV audio ->
-    duration/sample_rate/channels + an RMS energy envelope.  Formats
-    that genuinely need a codec library
-    (JPEG/MP3/video) fall back to a deterministic pseudo-decode of
+    8-bit non-interlaced PNG, baseline JPEG (luma-plane decode), and
+    binary PGM/PPM images -> width/height + a mean-pooled grayscale
+    vector; PCM WAV audio -> duration/sample_rate/channels + an RMS
+    energy envelope.  Formats that genuinely need a codec library
+    (progressive JPEG/MP3/video) fall back to a deterministic pseudo-decode of
     the payload bytes when ``fake=True``, else raise
     ``NotImplementedError`` — per-format, not blanket: a BMP/WAV
     payload decodes for real either way."""
@@ -410,7 +429,7 @@ def decode_features(
                     if not fake:
                         raise NotImplementedError(
                             "payload format needs a codec library not in "
-                            "this container (JPEG/MP3/video)"
+                            "this container (progressive JPEG/MP3/video)"
                         )
                     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
                     if arr.size >= dim:

@@ -366,3 +366,222 @@ def test_png_unsupported_variants_stay_gated(spark):
                + chunk(b"IEND", b""))
         with pytest.raises(ValueError):
             _decode_png(buf, dim=4)
+
+
+# ---------------------------------------------------------------- JPEG
+# Minimal baseline JPEG ENCODER (test fixture): forward DCT + quantize
+# + canonical Huffman with simple fixed-length tables emitted in DHT
+# (the decoder reads whatever DHT declares — no Annex K dependency).
+# All-ones quant tables make the round-trip near-lossless so decoded
+# luma can be compared to the source image within DCT rounding.
+
+_JDC_SYMS = list(range(12))                      # DC categories, len-4 codes
+_JAC_SYMS = [0x00, 0xF0] + [                      # EOB, ZRL, then (r,s)
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]                                                 # 162 syms, len-8 codes
+
+
+def _jhuff(symbols, length):
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return bits, {s: (i, length) for i, s in enumerate(symbols)}
+
+
+class _JBits:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _jcat(v):
+    return v.bit_length() if v > 0 else (-v).bit_length()
+
+
+def _jencode_block(bw, coeffs, dc_pred, dc_codes, ac_codes):
+    import numpy as np
+
+    from recordlinker_spark.operators.jpeg import ZIGZAG
+
+    zz = coeffs.reshape(64)[ZIGZAG].astype(np.int64)
+    diff = int(zz[0]) - dc_pred
+    t = _jcat(diff)
+    bw.put(*dc_codes[t])
+    if t:
+        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max([i for i in range(1, 64) if zz[i]], default=0)
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                bw.put(*ac_codes[0x00])  # EOB
+                break
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_codes[0xF0])
+            run -= 16
+        s = _jcat(v)
+        bw.put(*ac_codes[(run << 4) | s])
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return int(zz[0])
+
+
+def _encode_jpeg(gray, subsample=None, restart_interval=0):
+    """gray HxW uint8 -> baseline JFIF bytes.  subsample=None emits a
+    single-component (grayscale) JPEG; '444' / '420' emit 3-component
+    YCbCr with constant neutral chroma (Cb=Cr=128 -> zero blocks)."""
+    import struct as st
+
+    import numpy as np
+
+    from recordlinker_spark.operators.jpeg import _T, ZIGZAG
+
+    gray = np.asarray(gray, dtype=np.float64)
+    h, w = gray.shape
+    dc_bits, dc_codes = _jhuff(_JDC_SYMS, 4)
+    ac_bits, ac_codes = _jhuff(_JAC_SYMS, 8)
+    q = np.ones(64)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + st.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    if subsample is None:
+        comps = [(1, 1, 1)]
+    else:
+        yh = yv = (2 if subsample == "420" else 1)
+        if subsample == "422":
+            yh, yv = 2, 1
+        comps = [(1, yh, yv), (2, 1, 1), (3, 1, 1)]
+    sof = st.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch, cv in comps:
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    out += b"\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof
+    for cls, bits, syms in [(0, dc_bits, _JDC_SYMS), (1, ac_bits, _JAC_SYMS)]:
+        body = bytes([cls << 4]) + bytes(bits) + bytes(syms)
+        out += b"\xff\xc4" + st.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + st.pack(">HH", 4, restart_interval)
+    sos = bytes([len(comps)])
+    for cid, _, _ in comps:
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    ypad = np.full((mcus_y * vmax * 8, mcus_x * hmax * 8), 128.0)
+    ypad[:h, :w] = gray
+    zero = np.zeros((8, 8))
+
+    bw = _JBits()
+    preds = {cid: 0 for cid, _, _ in comps}
+    segs = []
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                segs.append(bytes(bw.out))
+                bw = _JBits()
+                preds = {cid: 0 for cid, _, _ in comps}
+            for cid, ch, cv in comps:
+                for by in range(cv):
+                    for bx in range(ch):
+                        if cid == 1:
+                            y0 = (my * cv + by) * 8
+                            x0 = (mx * ch + bx) * 8
+                            blk = ypad[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        else:
+                            blk = zero  # neutral chroma
+                        coeffs = np.round((_T @ blk @ _T.T) / q.reshape(8, 8))
+                        preds[cid] = _jencode_block(
+                            bw, coeffs, preds[cid], dc_codes, ac_codes
+                        )
+            mcu_count += 1
+    bw.flush()
+    segs.append(bytes(bw.out))
+    for i, seg in enumerate(segs):
+        out += seg
+        if i < len(segs) - 1:
+            out += bytes([0xFF, 0xD0 + (i % 8)])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decoder_round_trip():
+    """Baseline JPEG: grayscale, 4:4:4 and 4:2:0 YCbCr, and restart
+    markers all decode to the source luma within DCT rounding."""
+    import numpy as np
+
+    from recordlinker_spark.operators.jpeg import decode_jpeg_gray
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(21, 29)).astype(np.uint8)
+
+    for kwargs in [
+        {},                                 # single-component grayscale
+        {"subsample": "444"},
+        {"subsample": "420"},
+        {"subsample": "422"},
+        {"restart_interval": 2},
+        {"subsample": "420", "restart_interval": 3},
+    ]:
+        buf = _encode_jpeg(img, **kwargs)
+        w, h, gray = decode_jpeg_gray(buf)
+        assert (w, h) == (29, 21), kwargs
+        assert gray.shape == (21, 29), kwargs
+        err = np.abs(gray - img.astype(np.float64)).max()
+        assert err <= 4.0, (kwargs, err)  # all-ones quant ~= lossless
+
+
+def test_jpeg_progressive_stays_gated():
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from recordlinker_spark.operators.jpeg import decode_jpeg_gray
+
+    sof = st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    buf = (b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 2 + len(sof)) + sof
+           + b"\xff\xd9")
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(buf)
+
+
+def test_jpeg_end_to_end_real_fetch(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    (tmp_path / "x.jpg").write_bytes(_encode_jpeg(img, subsample="420"))
+    refs = spark.createDataFrame(
+        [("d1", 0, str(tmp_path / "x.jpg"), "image")],
+        "doc_id string, media_idx int, media_ref string, media_type string",
+    )
+    (row,) = decode_features(
+        fetch_payloads(refs, fake=False), dim=8, fake=False
+    ).collect()
+    assert (row["width"], row["height"]) == (24, 16)
+    assert len(row["feature"]) == 8
+    want = float(img.mean() / 255.0)
+    got = sum(row["feature"]) / 8
+    assert abs(got - want) < 0.02
