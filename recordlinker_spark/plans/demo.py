@@ -576,14 +576,25 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-minute tumbling per-user event aggregation (batch window)."""
+    """5-minute tumbling per-user event aggregation (batch window).
+
+    Sums use the exact integer-micros convention (see
+    operators/sessions.py): bit-identical across engines and
+    aggregation orders, all-NULL buckets 0.0 — no float degree of
+    freedom left for an oracle comparison to trip on."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     bucket = (F.unix_timestamp("ts") / 300).cast("long") * 300
     return ev.groupBy(
         F.col("user_id"), bucket.alias("bucket_start")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        (
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long")),
+                F.lit(0).cast("long"),
+            )
+            / F.lit(1_000_000.0)
+        ).alias("sum_value"),
     )
 
 
@@ -852,7 +863,8 @@ def oracle_queries() -> dict[str, str]:
         select user_id,
                (cast(floor(epoch(ts)) as bigint) // 300) * 300 as bucket_start,
                count(*) as n_events,
-               round(sum(value), 6) as sum_value
+               coalesce(sum(cast(round(value * 1000000) as bigint)), 0)
+                   / 1000000.0 as sum_value
         from events
         group by 1, 2
     """

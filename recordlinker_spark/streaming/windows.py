@@ -64,7 +64,19 @@ def windowed_event_aggregates(
         ev.groupBy(F.col(user_col), win.alias("_w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("sum_value"),
+            # exact integer-micros sum, same convention as the batch
+            # twin (plans/demo.q_events_window) and the sessionizer:
+            # bit-identical regardless of micro-batch arrival order,
+            # all-NULL buckets 0.0
+            (
+                F.coalesce(
+                    F.sum(
+                        F.round(F.col(value_col) * 1_000_000).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                )
+                / F.lit(1_000_000.0)
+            ).alias("sum_value"),
         )
         .select(
             user_col,
