@@ -157,6 +157,11 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
     while i + 4 <= n:
         if buf[i] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        if buf[i + 1] == 0xFF:
+            # T.81 B.1.1.2: markers may be preceded by any number of
+            # 0xFF fill bytes — skip them, they are not a marker code
+            i += 1
+            continue
         marker = buf[i + 1]
         if marker == 0xD9:  # EOI
             break

@@ -25,10 +25,13 @@ within a batch may be arbitrarily ordered, and a batch row older than
 the open session's end merges into it retroactively — adding events
 can only extend or fill a session, never split it, so interval-merge
 over (state ∪ batch) reproduces the full-event-list semantics with
-scalar state.  The contract is ENFORCED, not assumed: a batch event
-more than ``gap`` older than the open session's start (i.e. one that
-could belong to an already-emitted session) raises instead of
-silently mis-sessionizing.
+scalar state.  Late events older than the open session merge into it
+retroactively or close as new earlier sessions with correctly
+time-ordered ordinals; what CANNOT be honored is an event within
+``gap`` of an already-EMITTED session's end (it would have merged
+into a session that is sealed), so the kernel carries that end in
+state and RAISES on such events instead of silently emitting
+duplicate/overlapping sessions.
 
 Schema columns are fixed (``user_id, ts, value`` + ``event_id``
 tiebreak in the batch window) — rename upstream with ``select`` if
@@ -64,12 +67,14 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
-#: open-session state per user — FIXED width: next session ordinal +
-#: the open session's interval and running aggregates.  (A previous
-#: layout stored the open session's full event arrays; a never-quiet
-#: user grew it without bound.  Resuming a checkpoint written by that
-#: layout — or by the pre-r5 double-sum layout — fails loudly on the
-#: state-schema mismatch — wipe and reprocess.)
+#: open-session state per user — FIXED width: next session ordinal,
+#: the open session's interval and running aggregates, and the end of
+#: the most recently EMITTED (sealed) session, which anchors the
+#: out-of-order guard.  (A previous layout stored the open session's
+#: full event arrays; a never-quiet user grew it without bound.
+#: Resuming a checkpoint written by that layout — or by the pre-r5
+#: double-sum layout — fails loudly on the state-schema mismatch —
+#: wipe and reprocess.)
 _STATE_SCHEMA = StructType(
     [
         StructField("seq", LongType()),
@@ -78,6 +83,7 @@ _STATE_SCHEMA = StructType(
         StructField("n_events", LongType()),
         StructField("n_nonnull", LongType()),
         StructField("sum_micros", LongType()),
+        StructField("prev_end_us", LongType()),
     ]
 )
 
@@ -206,32 +212,34 @@ def _sessionize_group(
     # segments: [start_us, end_us, n_events, n_nonnull, sum_micros]
     segs: list[list] = []
     next_seq = 1
-    open_start_us: int | None = None
+    prev_end_us: int | None = None
     if state.exists:
-        seq0, start_us, end_us, n_ev, n_nn, sv = state.get
+        seq0, start_us, end_us, n_ev, n_nn, sv, pe = state.get
         next_seq = seq0
-        open_start_us = start_us
+        prev_end_us = pe
         segs.append([start_us, end_us, n_ev, n_nn, sv or 0])
     for pdf in pdfs:
         ts = _ts_to_micros(pdf["ts"], tz)
-        # cross-batch order contract, enforced: an event more than
-        # ``gap`` OLDER than the open session's start cannot merge
-        # into it — it belongs to an earlier session this operator may
-        # already have emitted and sealed, so silently sessionizing it
-        # would produce out-of-order ordinals and duplicate/overlapping
-        # sessions.  Fail loudly (the upstream fix is watermarking or
-        # per-user-ordered sources); events merely older than the open
-        # session's END still merge retroactively as documented.
-        if open_start_us is not None and len(ts) > 0:
+        # cross-batch order contract, enforced against the last EMITTED
+        # session's end (carried in state): an event within ``gap`` of
+        # a sealed session would have merged into it (or bridged it
+        # with the open one) under full-event-list semantics, but that
+        # session is already emitted — silently sessionizing the event
+        # would yield duplicate/overlapping sessions.  Fail loudly (the
+        # upstream fix is watermarking or per-user-ordered sources).
+        # Events merely older than the OPEN session are fine: they
+        # merge into it retroactively or form new earlier sessions,
+        # which close with correctly time-ordered ordinals below.
+        if prev_end_us is not None and len(ts) > 0:
             batch_min = int(ts.min())
-            if batch_min < open_start_us - gap_us:
+            if batch_min <= prev_end_us + gap_us:
                 raise ValueError(
                     f"out-of-order event for user {key[0]}: batch ts "
-                    f"{batch_min}us predates the open session's start "
-                    f"({open_start_us}us) by more than the "
-                    f"{gap_us}us gap; an earlier session may already "
-                    "be emitted — feed per-user time-ordered batches "
-                    "(e.g. a watermarked, ordered source)"
+                    f"{batch_min}us falls within {gap_us}us of an "
+                    f"already-emitted session ending {prev_end_us}us "
+                    "— that session is sealed; feed per-user "
+                    "time-ordered batches (e.g. a watermarked, "
+                    "ordered source)"
                 )
         # NULL event values arrive as NaN through astype(float); the
         # batch twin's F.sum skips NULLs (contributing 0 micros, and
@@ -277,7 +285,10 @@ def _sessionize_group(
         )
         next_seq += 1
     o = merged[-1]
-    state.update((next_seq, o[0], o[1], o[2], o[3], o[4]))
+    # the guard anchor advances to the newest sealed end: this call's
+    # last emitted session if any closed, else the prior anchor
+    new_prev_end = merged[-2][1] if len(merged) > 1 else prev_end_us
+    state.update((next_seq, o[0], o[1], o[2], o[3], o[4], new_prev_end))
     yield pd.DataFrame(out, columns=cols)
 
 

@@ -106,12 +106,30 @@ def _mpi_target(args) -> TableTarget:
     return TableTarget(args.mpi, catalog=bool(getattr(args, "catalog", False)))
 
 
+def _widen_to_mpi_schema(df: DataFrame) -> DataFrame:
+    """Add any MPI_SCHEMA columns the stored table predates, as NULLs.
+
+    The parquet path gets this for free (explicit read schema); a
+    catalog table reads with ITS schema, so an Iceberg MPI created
+    before a schema widening (e.g. the external_person_id/source
+    columns) would fail downstream column selects.  Reads tolerate old
+    tables; APPENDS of the widened frame still require the one-time
+    ``ALTER TABLE ... ADD COLUMNS`` migration Iceberg schema evolution
+    is built for — that failure is loud, never wrong-results."""
+    for f in MPI_SCHEMA.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
+
+
 def _read_mpi_t(spark: SparkSession, target: TableTarget) -> DataFrame:
     if target.catalog:
         from pyspark.errors import AnalysisException
 
         try:
-            return target.read(spark).dropDuplicates(["record_id"])
+            return _widen_to_mpi_schema(
+                target.read(spark).dropDuplicates(["record_id"])
+            )
         except AnalysisException as exc:
             # ONLY a genuinely-absent table means "empty MPI" (first
             # run bootstrap).  Any other failure — permissions, catalog
@@ -179,6 +197,14 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
                 # dropped one patient's data.  basename-md5(content)
                 # is mount-invariant AND collision-free: identical
                 # bundles still dedup, distinct ones never merge.
+                # Migration note: MPIs seeded under an older id scheme
+                # (bare basename / full URI) won't dedup against the
+                # new ids — relink such bundles into a fresh MPI, or
+                # delete the old rows first (job_delete).  A byte-level
+                # edit to a bundle (even whitespace) changes its id by
+                # design: content defines identity here, as upstream
+                # systems that round-trip JSON should pin a canonical
+                # serialization.
                 F.concat_ws(
                     "-",
                     F.element_at(F.split(F.input_file_name(), "/"), -1),
@@ -263,6 +289,19 @@ def _job_link_checkpointed(
             records = spark.read.parquet(
                 os.path.join(run_dir, "ingest")
             ).drop("_part_id")
+            if "external_person_id" in docs.columns:
+                # same document-level passthrough as the
+                # non-checkpointed path — without it the two modes of
+                # the SAME CLI job silently diverge (NULL external ids
+                # under --run-dir)
+                records = records.join(
+                    docs.select(
+                        F.col("doc_id").alias("record_id"),
+                        "external_person_id",
+                    ),
+                    "record_id",
+                    "left",
+                )
             new_patients = records.join(
                 decisions.select("record_id", "person_id"), "record_id"
             )

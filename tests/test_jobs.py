@@ -426,3 +426,23 @@ def test_external_person_id_round_trip(spark, tmp_path):
     assert mpi["x1"] == ("EXT-9", "IRIS")
     # seeded rows unchanged
     assert mpi["r0"] == ("EXT-7", "IRIS") and mpi["r1"] == (None, None)
+
+
+def test_external_person_id_round_trip_run_dir(spark, tmp_path):
+    """--run-dir (checkpointed) link must persist external_person_id
+    exactly like the non-checkpointed path — the two modes of the same
+    CLI job must not silently diverge."""
+    docs_dir = str(tmp_path / "docs")
+    mpi_dir = str(tmp_path / "mpi")
+    spark.createDataFrame(
+        docs_to_rows([("x1", SIX_PATIENTS[1], [])]), DOCUMENTS_SCHEMA
+    ).withColumn("external_person_id", F.lit("EXT-RD")).write.parquet(docs_dir)
+    jobs.job_link(
+        spark,
+        A(documents=docs_dir, mpi=mpi_dir, out=str(tmp_path / "dec"),
+          run_dir=str(tmp_path / "run")),
+    )
+    (row,) = spark.read.parquet(mpi_dir).collect()
+    assert (row["external_person_id"], row["external_person_source"]) == (
+        "EXT-RD", "IRIS",
+    )

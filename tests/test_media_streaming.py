@@ -585,3 +585,21 @@ def test_jpeg_end_to_end_real_fetch(spark, tmp_path):
     want = float(img.mean() / 255.0)
     got = sum(row["feature"]) / 8
     assert abs(got - want) < 0.02
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes; the
+    marker walk must skip them, not misread a segment length."""
+    import numpy as np
+
+    from recordlinker_spark.operators.jpeg import decode_jpeg_gray
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, size=(9, 11)).astype(np.uint8)
+    buf = _encode_jpeg(img)
+    # pad fill bytes before the SOF and DHT markers
+    buf = buf.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    buf = buf.replace(b"\xff\xc4", b"\xff\xff\xff\xff\xc4", 1)
+    w, h, gray = decode_jpeg_gray(buf)
+    assert (w, h) == (11, 9)
+    assert np.abs(gray - img.astype(np.float64)).max() <= 4.0

@@ -212,40 +212,55 @@ def test_sessionize_sum_is_order_and_partition_invariant(spark):
         assert got == base
 
 
-def test_cross_batch_late_event_raises():
-    """Contract: a batch event more than gap OLDER than the open
-    session's start (it could belong to an already-emitted, sealed
-    session) must raise, not silently merge or mis-session."""
+def test_cross_batch_late_event_contract():
+    """Contract: an event within gap of an already-EMITTED session's
+    end raises (that session is sealed); events merely older than the
+    OPEN session merge retroactively — directly, via an in-batch
+    chain, or as a new earlier session with time-ordered ordinals."""
     import pandas as pd
     import pytest
 
     from recordlinker_spark.operators.sessions import _sessionize_group
 
     gap = 30 * 60_000_000
+    T = 100_000_000_000  # open session start (us)
+    PREV_END = T - 10 * gap  # last emitted session sealed long ago
 
     class _State:
         exists = True
-        # open session started at t=10_000s (us), seq 3
-        get = (3, 10_000_000_000, 10_060_000_000, 2, 2, 5_000_000)
+        # (seq, start, end, n_events, n_nonnull, sum_micros, prev_end)
+        get = (3, T, T + 60_000_000, 2, 2, 5_000_000, PREV_END)
 
         def update(self, v):
             self.val = v
 
-    # an event 31 min before the open session's start -> earlier session
-    late = pd.DataFrame({
-        "ts": pd.to_datetime([10_000_000_000 - gap - 60_000_000], unit="us"),
-        "value": pd.array([1.0], dtype="float64"),
-    })
-    with pytest.raises(ValueError, match="out-of-order"):
-        list(_sessionize_group((7,), [late], _State(), gap))
+    def batch(*offsets_us):
+        return pd.DataFrame({
+            "ts": pd.to_datetime([T + o for o in offsets_us], unit="us"),
+            "value": pd.array([1.0] * len(offsets_us), dtype="float64"),
+        })
 
-    # an event older than the open session's END but within gap of its
-    # start still merges retroactively (documented fill/extend)
-    ok = pd.DataFrame({
-        "ts": pd.to_datetime([10_000_000_000 - gap + 60_000_000], unit="us"),
-        "value": pd.array([2.0], dtype="float64"),
-    })
+    # 1. event within gap of the SEALED session's end -> raise
+    with pytest.raises(ValueError, match="already-emitted"):
+        list(_sessionize_group((7,), [batch(PREV_END - T + gap)], _State(), gap))
+
+    # 2. in-batch chain: T-1.5gap and T-0.8gap each within gap of the
+    #    next -> ALL merge into the open session (full-event semantics)
     st = _State()
-    (out,) = _sessionize_group((7,), [ok], st, gap)
-    assert len(out) == 0  # still one open session, nothing closed
-    assert st.val[1] == 10_000_000_000 - gap + 60_000_000  # extended start
+    (out,) = _sessionize_group(
+        (7,), [batch(-int(1.5 * gap), -int(0.8 * gap))], st, gap
+    )
+    assert len(out) == 0  # nothing closed; one big open session
+    assert st.val[1] == T - int(1.5 * gap)  # extended start
+    assert st.val[3] == 4  # 2 state events + 2 batch events
+
+    # 3. an isolated earlier event (> gap from both the sealed end and
+    #    the open start) closes as a NEW session with the next ordinal,
+    #    BEFORE the still-open one
+    st = _State()
+    (out,) = _sessionize_group((7,), [batch(-3 * gap)], st, gap)
+    assert len(out) == 1
+    assert out.iloc[0]["session_seq"] == 3  # takes the stored ordinal
+    st_seq, st_start = st.val[0], st.val[1]
+    assert st_seq == 4 and st_start == T  # open session renumbered after
+    assert st.val[6] == T - 3 * gap  # guard anchor advanced
