@@ -5,10 +5,12 @@ The input documents interleave media spans (``kind='media'``,
 a training-data pipeline needs to move, decode, and featurize them.
 This module provides the Spark-side plumbing — schemas, partitioning,
 batch shapes — plus REAL pure-stdlib decoders for BMP, 8-bit PNG,
-baseline JPEG (operators/jpeg.py), binary PGM/PPM, and PCM WAV.  Only
-formats that genuinely need a codec library this container lacks
-(progressive JPEG, MP3, video) stay stubbed: ``decode_features``
-raises ``NotImplementedError`` for them unless ``fake=True``, which
+baseline JPEG (operators/jpeg.py), binary PGM/PPM, PCM WAV, and MPEG
+audio metadata (frame-header walk: exact CBR/VBR duration, sample
+rate, channels, bitrate envelope).  Only formats that genuinely need
+a codec library this container lacks (progressive JPEG, MP3 PCM
+synthesis, video) stay stubbed: ``decode_features`` raises
+``NotImplementedError`` for them unless ``fake=True``, which
 substitutes a deterministic synthetic decode so the distributed path
 is fully testable.
 
@@ -373,6 +375,97 @@ def _decode_wav(buf: bytes, dim: int) -> dict:
     }
 
 
+# MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3).
+# Bitrates in kbps, indexed by the header's 4-bit bitrate field;
+# index 0 is "free format" (unsupported) and 15 is invalid.
+_MP3_BR_V1 = {  # MPEG-1, by layer
+    1: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+}
+_MP3_BR_V2 = {  # MPEG-2 / 2.5, by layer (II and III share a table)
+    1: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# sample rates by the header's 2-bit version field (0=2.5, 2=2, 3=1)
+_MP3_RATES = {0: (11025, 12000, 8000), 2: (22050, 24000, 16000),
+              3: (44100, 48000, 32000)}
+
+
+def _mp3_frame(buf: bytes, pos: int) -> tuple[int, int, int, int, int] | None:
+    """Parse one MPEG audio frame header at ``pos``.  Returns
+    ``(frame_len, samples, rate, channels, kbps)`` or None if the four
+    bytes at ``pos`` are not a valid fixed-bitrate frame header."""
+    if pos + 4 > len(buf):
+        return None
+    b1, b2, b3 = buf[pos + 1], buf[pos + 2], buf[pos + 3]
+    if buf[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 3          # 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    layer_bits = (b1 >> 1) & 3       # 3=Layer I, 2=II, 1=III, 0=reserved
+    if version == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits           # 1, 2, or 3
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None                  # free-format / invalid
+    padding = (b2 >> 1) & 1
+    channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+    kbps = (_MP3_BR_V1 if version == 3 else _MP3_BR_V2)[layer][br_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    if layer == 1:
+        samples = 384
+        flen = (12 * kbps * 1000 // rate + padding) * 4
+    else:
+        samples = 1152 if (layer == 2 or version == 3) else 576
+        flen = samples // 8 * kbps * 1000 // rate + padding
+    return flen, samples, rate, channels, kbps
+
+
+def _decode_mp3(buf: bytes, dim: int) -> dict:
+    """MPEG audio (MP3) metadata via a pure-stdlib frame-header walk:
+    skip any ID3v2 tag, then step frame to frame summing each frame's
+    sample count / sample rate into an exact duration (correct for
+    both CBR and VBR streams).  The feature is the per-frame bitrate
+    envelope pooled to ``dim`` and scaled by the 448 kbps format
+    maximum — real stream structure (a VBR encoder's rate profile),
+    not decoded PCM; full PCM synthesis stays codec-gated."""
+    pos = 0
+    if buf[:3] == b"ID3":
+        if len(buf) < 10:
+            raise ValueError("truncated ID3v2 header")
+        pos = 10 + (((buf[6] & 0x7F) << 21) | ((buf[7] & 0x7F) << 14)
+                    | ((buf[8] & 0x7F) << 7) | (buf[9] & 0x7F))
+    kbps_seq: list[float] = []
+    duration = 0.0
+    rate = channels = None
+    while pos + 4 <= len(buf):
+        hdr = _mp3_frame(buf, pos)
+        if hdr is None:
+            break                    # trailing tag / junk ends the walk
+        flen, samples, r, ch, kbps = hdr
+        if flen <= 4:
+            break                    # degenerate header; refuse to loop
+        if rate is None:
+            rate, channels = r, ch
+        kbps_seq.append(float(kbps))
+        duration += samples / r
+        pos += flen
+    if not kbps_seq:
+        raise ValueError("no MPEG audio frames found")
+    env = _pool(np.asarray(kbps_seq, dtype=np.float32) / 448.0, dim)
+    return {
+        "width": None,
+        "height": None,
+        "duration": duration,
+        "sample_rate": rate,
+        "channels": channels,
+        "feature": env,
+    }
+
+
 def _decode_payload(payload: bytes, dim: int) -> dict | None:
     """Dispatch on magic bytes to a real pure-Python decoder; None when
     the format needs a codec library this container lacks."""
@@ -386,6 +479,8 @@ def _decode_payload(payload: bytes, dim: int) -> dict | None:
         return _decode_pnm(payload, dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload, dim)
+    if payload[:3] == b"ID3" or _mp3_frame(payload, 0) is not None:
+        return _decode_mp3(payload, dim)
     return None
 
 
@@ -398,8 +493,10 @@ def decode_features(
     8-bit non-interlaced PNG, baseline JPEG (luma-plane decode), and
     binary PGM/PPM images -> width/height + a mean-pooled grayscale
     vector; PCM WAV audio -> duration/sample_rate/channels + an RMS
-    energy envelope.  Formats that genuinely need a codec library
-    (progressive JPEG/MP3/video) fall back to a deterministic pseudo-decode of
+    energy envelope; MPEG audio (MP3) -> exact frame-walk duration/
+    rate/channels + a bitrate-envelope feature.  Formats that
+    genuinely need a codec library (progressive JPEG / MP3 PCM
+    synthesis / video) fall back to a deterministic pseudo-decode of
     the payload bytes when ``fake=True``, else raise
     ``NotImplementedError`` — per-format, not blanket: a BMP/WAV
     payload decodes for real either way."""
@@ -429,7 +526,8 @@ def decode_features(
                     if not fake:
                         raise NotImplementedError(
                             "payload format needs a codec library not in "
-                            "this container (progressive JPEG/MP3/video)"
+                            "this container (progressive JPEG / MP3 PCM "
+                            "synthesis / video)"
                         )
                     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
                     if arr.size >= dim:

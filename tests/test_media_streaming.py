@@ -603,3 +603,80 @@ def test_jpeg_fill_bytes_before_markers():
     w, h, gray = decode_jpeg_gray(buf)
     assert (w, h) == (11, 9)
     assert np.abs(gray - img.astype(np.float64)).max() <= 4.0
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio (MP3) frame-header walk
+# ---------------------------------------------------------------------------
+
+def _mp3_cbr(n_frames, *, br_idx=9, sr_idx=0, stereo=True):
+    """MPEG-1 Layer III CBR frames: header + zero payload.  br_idx 9 =
+    128 kbps; sr_idx 0 = 44100 Hz; frame_len = 144*kbps*1000//rate."""
+    kbps = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+            160, 192, 224, 256, 320)[br_idx]
+    rate = (44100, 48000, 32000)[sr_idx]
+    flen = 144 * kbps * 1000 // rate
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2),
+                 0x00 if stereo else 0xC0])
+    return (hdr + b"\x00" * (flen - 4)) * n_frames
+
+
+def test_mp3_cbr_metadata():
+    from recordlinker_spark.operators.media import _decode_mp3
+
+    out = _decode_mp3(_mp3_cbr(38), dim=8)
+    assert out["sample_rate"] == 44100 and out["channels"] == 2
+    assert abs(out["duration"] - 38 * 1152 / 44100) < 1e-9
+    assert out["width"] is None and out["height"] is None
+    # CBR: the bitrate envelope is flat at 128/448
+    assert all(abs(f - 128 / 448) < 1e-6 for f in out["feature"])
+
+
+def test_mp3_vbr_id3_and_trailing_tag():
+    """VBR MPEG-2 mono with an ID3v2 prefix and an ID3v1 trailer:
+    duration must sum per-frame samples/rate; the walk must skip the
+    leading tag and stop cleanly at the trailing one."""
+    from recordlinker_spark.operators.media import _decode_mp3
+
+    frames = b""
+    idxs = [5, 9, 14, 9, 5, 2]
+    for br_idx in idxs:
+        kbps = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                96, 112, 128, 144, 160)[br_idx]
+        flen = 72 * kbps * 1000 // 16000
+        # sync 111, version 10 (MPEG-2), layer 01 (III), prot 1 -> 0xF3
+        hdr = bytes([0xFF, 0xF3, (br_idx << 4) | (2 << 2), 0xC0])
+        frames += hdr + b"\x00" * (flen - 4)
+    pad = 200
+    id3v2 = b"ID3" + b"\x04\x00" + b"\x00" + bytes(
+        [(pad >> 21) & 0x7F, (pad >> 14) & 0x7F, (pad >> 7) & 0x7F, pad & 0x7F]
+    )
+    buf = id3v2 + b"\x00" * pad + frames + b"TAG" + b"\x00" * 125
+    out = _decode_mp3(buf, dim=3)
+    assert out["sample_rate"] == 16000 and out["channels"] == 1
+    assert abs(out["duration"] - len(idxs) * 576 / 16000) < 1e-9
+    # envelope follows the VBR profile: middle pooled segment hottest
+    assert out["feature"][1] > out["feature"][0] > out["feature"][2]
+
+
+def test_mp3_end_to_end_real_fetch(spark, tmp_path):
+    (tmp_path / "a.mp3").write_bytes(_mp3_cbr(25, br_idx=11, sr_idx=1))
+    refs = spark.createDataFrame(
+        [("d1", 0, str(tmp_path / "a.mp3"), "audio")],
+        "doc_id string, media_idx int, media_ref string, media_type string",
+    )
+    (row,) = decode_features(
+        fetch_payloads(refs, fake=False), dim=4, fake=False
+    ).collect()
+    assert row["sample_rate"] == 48000 and row["channels"] == 2
+    assert abs(row["duration"] - 25 * 1152 / 48000) < 1e-9
+    assert len(row["feature"]) == 4
+
+
+def test_mp3_garbage_raises():
+    import pytest
+
+    from recordlinker_spark.operators.media import _decode_mp3
+
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        _decode_mp3(b"ID3" + b"\x04\x00\x00" + b"\x00\x00\x00\x00", dim=4)
