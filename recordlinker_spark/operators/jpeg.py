@@ -122,17 +122,25 @@ def _split_segments(buf: bytes, start: int) -> tuple[list[bytes], int]:
             cur.append(b)
             i += 1
             continue
-        if i + 1 >= n:
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker; treat all but the last 0xFF as fill so a padded RST
+        # or EOI still parses (only FF 00 is stuffed data)
+        j = i
+        while j + 1 < n and buf[j + 1] == 0xFF:
+            j += 1
+        if j + 1 >= n:
+            i = j
             break
-        m = buf[i + 1]
+        m = buf[j + 1]
         if m == 0x00:
             cur.append(0xFF)
-            i += 2
+            i = j + 2
         elif 0xD0 <= m <= 0xD7:  # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
-            i += 2
+            i = j + 2
         else:
+            i = j
             break
     segs.append(bytes(cur))
     return segs, i
@@ -282,7 +290,9 @@ def _decode_scan(frame, scan, segs, qtables, huff_dc, huff_ac,
                 cv = o["comp"]["v"] if interleaved else 1
                 for by in range(cv):
                     for bx in range(ch):
-                        block = _decode_block(reader, o, dc_pred)
+                        block = _decode_block(
+                            reader, o, dc_pred, skip_dequant=oi != 0
+                        )
                         if oi == 0:
                             sp = _T.T @ block @ _T + 128.0
                             y0 = (my * lv + by) * 8
@@ -297,8 +307,15 @@ def _decode_scan(frame, scan, segs, qtables, huff_dc, huff_ac,
     return width, height, np.clip(plane[:chh, :cw], 0.0, 255.0)
 
 
-def _decode_block(reader: _BitReader, o: dict, dc_pred: dict) -> np.ndarray:
-    """Entropy-decode one 8x8 block and dequantize (T.81 F.2.2)."""
+def _decode_block(
+    reader: _BitReader, o: dict, dc_pred: dict, skip_dequant: bool = False
+) -> np.ndarray | None:
+    """Entropy-decode one 8x8 block and dequantize (T.81 F.2.2).
+
+    With ``skip_dequant`` the bitstream is still fully consumed and
+    the DC predictor updated (both mandatory to stay in sync), but the
+    dequant multiply + zigzag scatter are skipped and None returned —
+    the luma-only pipeline discards chroma coefficients anyway."""
     coeffs = np.zeros(64, np.float64)
     t = reader.decode_symbol(o["dc"])
     diff = _extend(reader.read_bits(t), t) if t else 0
@@ -318,6 +335,8 @@ def _decode_block(reader: _BitReader, o: dict, dc_pred: dict) -> np.ndarray:
             raise ValueError("JPEG AC run overflows block")
         coeffs[k] = _extend(reader.read_bits(s), s)
         k += 1
+    if skip_dequant:
+        return None
     block = np.zeros(64, np.float64)
     block[ZIGZAG] = coeffs * o["q"]
     return block.reshape(8, 8)

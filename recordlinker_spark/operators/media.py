@@ -438,6 +438,8 @@ def _decode_mp3(buf: bytes, dim: int) -> dict:
             raise ValueError("truncated ID3v2 header")
         pos = 10 + (((buf[6] & 0x7F) << 21) | ((buf[7] & 0x7F) << 14)
                     | ((buf[8] & 0x7F) << 7) | (buf[9] & 0x7F))
+        if buf[5] & 0x10:
+            pos += 10               # ID3v2.4 footer (not counted in size)
     kbps_seq: list[float] = []
     duration = 0.0
     rate = channels = None

@@ -56,6 +56,8 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
+from recordlinker_spark.functions.aggregates import exact_micros_sum
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -73,15 +75,14 @@ SESSION_SCHEMA = StructType(
 #: out-of-order guard.  (A previous layout stored the open session's
 #: full event arrays; a never-quiet user grew it without bound.
 #: Resuming a checkpoint written by that layout — or by the pre-r5
-#: double-sum layout — fails loudly on the state-schema mismatch —
-#: wipe and reprocess.)
+#: double-sum / n_nonnull layouts — fails loudly on the state-schema
+#: mismatch — wipe and reprocess.)
 _STATE_SCHEMA = StructType(
     [
         StructField("seq", LongType()),
         StructField("start_us", LongType()),
         StructField("end_us", LongType()),
         StructField("n_events", LongType()),
-        StructField("n_nonnull", LongType()),
         StructField("sum_micros", LongType()),
         StructField("prev_end_us", LongType()),
     ]
@@ -126,13 +127,7 @@ def sessionize(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
                 "session_end"
             ),
             F.count(F.lit(1)).alias("n_events"),
-            (
-                F.coalesce(
-                    F.sum(F.round(F.col("value") * 1_000_000).cast("long")),
-                    F.lit(0).cast("long"),
-                )
-                / F.lit(1_000_000.0)
-            ).alias("sum_value"),
+            exact_micros_sum("value").alias("sum_value"),
         )
         .select(
             "user_id",
@@ -202,22 +197,22 @@ def _sessionize_group(
     """Stateful kernel: interval-merge the user's open session with this
     batch's rows, emit every session that closed, keep the last open.
 
-    Each session is a segment ``[start, end, n_events, n_nonnull,
-    sum_micros]``; batch events are unit segments; merging segments
+    Each session is a segment ``[start, end, n_events, sum_micros]``;
+    batch events are unit segments; merging segments
     whose start is within ``gap_us`` of the running end is exactly the
     full-event-list split (events can extend or fill a session, never
     split one), with O(1) state per user.  Sums are EXACT integer
     microunits (``_value_micros``) so partial-merge order cannot
     perturb the result."""
-    # segments: [start_us, end_us, n_events, n_nonnull, sum_micros]
+    # segments: [start_us, end_us, n_events, sum_micros]
     segs: list[list] = []
     next_seq = 1
     prev_end_us: int | None = None
     if state.exists:
-        seq0, start_us, end_us, n_ev, n_nn, sv, pe = state.get
+        seq0, start_us, end_us, n_ev, sv, pe = state.get
         next_seq = seq0
         prev_end_us = pe
-        segs.append([start_us, end_us, n_ev, n_nn, sv or 0])
+        segs.append([start_us, end_us, n_ev, sv or 0])
     for pdf in pdfs:
         ts = _ts_to_micros(pdf["ts"], tz)
         # cross-batch order contract, enforced against the last EMITTED
@@ -248,13 +243,13 @@ def _sessionize_group(
         # would otherwise poison the whole sum).
         # Known limit: Arrow hands the kernel float64 ndarrays, which
         # fold SQL NULL and a literal double NaN into the same NaN —
-        # the kernel treats both as NULL, while the batch twin's F.sum
-        # propagates a literal NaN.  Distinguishing them would need a
-        # sidecar isnull column; not worth it for a sentinel value no
-        # event source emits deliberately.
+        # the kernel treats both as NULL.  The batch twin's
+        # round(NaN*1e6).cast(long) folds a literal NaN to 0 micros
+        # too (non-ANSI; ANSI errors instead), so the twins agree for
+        # a sentinel value no event source emits deliberately.
         for t, v in zip(ts.tolist(), pdf["value"].astype(float).tolist()):
             nn = 0 if math.isnan(v) else 1
-            segs.append([t, t, 1, nn, _value_micros(v) if nn else 0])
+            segs.append([t, t, 1, _value_micros(v) if nn else 0])
     cols = [f.name for f in SESSION_SCHEMA.fields]
     if not segs:
         yield pd.DataFrame(columns=cols)
@@ -267,7 +262,6 @@ def _sessionize_group(
             cur[1] = max(cur[1], s[1])
             cur[2] += s[2]
             cur[3] += s[3]
-            cur[4] += s[4]
         else:
             merged.append(s)
     uid = key[0]
@@ -280,7 +274,7 @@ def _sessionize_group(
                 s[0] // 1_000_000,
                 s[1] // 1_000_000,
                 s[2],
-                s[4] / 1_000_000.0,
+                s[3] / 1_000_000.0,
             )
         )
         next_seq += 1
@@ -288,7 +282,7 @@ def _sessionize_group(
     # the guard anchor advances to the newest sealed end: this call's
     # last emitted session if any closed, else the prior anchor
     new_prev_end = merged[-2][1] if len(merged) > 1 else prev_end_us
-    state.update((next_seq, o[0], o[1], o[2], o[3], o[4], new_prev_end))
+    state.update((next_seq, o[0], o[1], o[2], o[3], new_prev_end))
     yield pd.DataFrame(out, columns=cols)
 
 

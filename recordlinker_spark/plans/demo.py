@@ -582,19 +582,15 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/sessions.py): bit-identical across engines and
     aggregation orders, all-NULL buckets 0.0 — no float degree of
     freedom left for an oracle comparison to trip on."""
+    from recordlinker_spark.functions.aggregates import exact_micros_sum
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     bucket = (F.unix_timestamp("ts") / 300).cast("long") * 300
     return ev.groupBy(
         F.col("user_id"), bucket.alias("bucket_start")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        (
-            F.coalesce(
-                F.sum(F.round(F.col("value") * 1_000_000).cast("long")),
-                F.lit(0).cast("long"),
-            )
-            / F.lit(1_000_000.0)
-        ).alias("sum_value"),
+        exact_micros_sum("value").alias("sum_value"),
     )
 
 

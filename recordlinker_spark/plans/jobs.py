@@ -122,6 +122,24 @@ def _widen_to_mpi_schema(df: DataFrame) -> DataFrame:
     return df
 
 
+def _attach_external_person_id(records: DataFrame, docs: DataFrame) -> DataFrame:
+    """Batch analog of the link request's optional external_person_id
+    (reference schemas/link.py:29-33): when the documents table carries
+    the column, ride it along into the MPI insert.  Shared by the
+    plain and --run-dir link paths — the two modes of the SAME CLI job
+    must not diverge (e.g. NULL external ids only under --run-dir)."""
+    if "external_person_id" not in docs.columns:
+        return records
+    return records.join(
+        docs.select(
+            F.col("doc_id").alias("record_id"),
+            "external_person_id",
+        ),
+        "record_id",
+        "left",
+    )
+
+
 def _read_mpi_t(spark: SparkSession, target: TableTarget) -> DataFrame:
     if target.catalog:
         from pyspark.errors import AnalysisException
@@ -216,19 +234,7 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
         records = parse_fhir_bundles(bundles)
     else:
         docs_df = spark.read.parquet(args.documents)
-        records = parse_documents(docs_df)
-        if "external_person_id" in docs_df.columns:
-            # batch analog of the link request's optional
-            # external_person_id (reference schemas/link.py:29-33): a
-            # document-level column rides along into the MPI insert
-            records = records.join(
-                docs_df.select(
-                    F.col("doc_id").alias("record_id"),
-                    "external_person_id",
-                ),
-                "record_id",
-                "left",
-            )
+        records = _attach_external_person_id(parse_documents(docs_df), docs_df)
     mpi = _read_mpi_t(spark, target)
     # cache_intermediate only when a SECOND consumer of the
     # blocking+scoring DAG exists (the MPI append and/or the FHIR
@@ -286,22 +292,12 @@ def _job_link_checkpointed(
         def append_new_patients():
             import os
 
-            records = spark.read.parquet(
-                os.path.join(run_dir, "ingest")
-            ).drop("_part_id")
-            if "external_person_id" in docs.columns:
-                # same document-level passthrough as the
-                # non-checkpointed path — without it the two modes of
-                # the SAME CLI job silently diverge (NULL external ids
-                # under --run-dir)
-                records = records.join(
-                    docs.select(
-                        F.col("doc_id").alias("record_id"),
-                        "external_person_id",
-                    ),
-                    "record_id",
-                    "left",
-                )
+            records = _attach_external_person_id(
+                spark.read.parquet(
+                    os.path.join(run_dir, "ingest")
+                ).drop("_part_id"),
+                docs,
+            )
             new_patients = records.join(
                 decisions.select("record_id", "person_id"), "record_id"
             )

@@ -64,7 +64,12 @@ def mpi_projection(df: DataFrame) -> DataFrame:
                 F.lit(EXTERNAL_PERSON_SOURCE),
             ),
         )
-    return df.select(*[f.name for f in MPI_SCHEMA.fields])
+    # cast to the declared types: a caller-supplied external_person_id
+    # typed e.g. INT64 in the source parquet would otherwise be written
+    # verbatim and break every later MPI_SCHEMA read of the store
+    return df.select(
+        *[F.col(f.name).cast(f.dataType) for f in MPI_SCHEMA.fields]
+    )
 
 
 @dataclasses.dataclass

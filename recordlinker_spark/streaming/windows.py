@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from recordlinker_spark.functions.aggregates import exact_micros_sum
+
 
 def windowed_event_aggregates(
     events: DataFrame,
@@ -68,15 +70,7 @@ def windowed_event_aggregates(
             # twin (plans/demo.q_events_window) and the sessionizer:
             # bit-identical regardless of micro-batch arrival order,
             # all-NULL buckets 0.0
-            (
-                F.coalesce(
-                    F.sum(
-                        F.round(F.col(value_col) * 1_000_000).cast("long")
-                    ),
-                    F.lit(0).cast("long"),
-                )
-                / F.lit(1_000_000.0)
-            ).alias("sum_value"),
+            exact_micros_sum(value_col).alias("sum_value"),
         )
         .select(
             user_col,

@@ -446,3 +446,34 @@ def test_external_person_id_round_trip_run_dir(spark, tmp_path):
     assert (row["external_person_id"], row["external_person_source"]) == (
         "EXT-RD", "IRIS",
     )
+
+
+def test_external_person_id_int_typed_column_is_cast(spark, tmp_path):
+    """A documents table that types external_person_id as a NUMBER must
+    not poison the MPI store: mpi_projection casts to MPI_SCHEMA types,
+    so the append stays string-typed and later MPI reads succeed."""
+    docs_dir = str(tmp_path / "docs")
+    mpi_dir = str(tmp_path / "mpi")
+    out_dir = str(tmp_path / "decisions")
+    out_dir2 = str(tmp_path / "decisions2")
+
+    docs = spark.createDataFrame(
+        docs_to_rows([("n0", SIX_PATIENTS[0], [])]), DOCUMENTS_SCHEMA
+    ).withColumn("external_person_id", F.lit(12345))  # INT, not string
+    docs.write.parquet(docs_dir)
+    jobs.job_link(spark, A(documents=docs_dir, mpi=mpi_dir, out=out_dir))
+
+    mpi = spark.read.parquet(mpi_dir)
+    assert dict(mpi.dtypes)["external_person_id"] == "string"
+    (row,) = mpi.collect()
+    assert row["external_person_id"] == "12345"
+    assert row["external_person_source"] == "IRIS"
+
+    # the store stays readable by a second link job (the failure mode
+    # was a parquet-type mismatch against the explicit MPI_SCHEMA read)
+    link_docs = str(tmp_path / "link2")
+    spark.createDataFrame(
+        docs_to_rows([("n1", SIX_PATIENTS[1], [])]), DOCUMENTS_SCHEMA
+    ).write.parquet(link_docs)
+    jobs.job_link(spark, A(documents=link_docs, mpi=mpi_dir, out=out_dir2))
+    assert spark.read.parquet(mpi_dir).count() == 2

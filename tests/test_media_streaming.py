@@ -680,3 +680,40 @@ def test_mp3_garbage_raises():
 
     with pytest.raises(ValueError, match="no MPEG audio frames"):
         _decode_mp3(b"ID3" + b"\x04\x00\x00" + b"\x00\x00\x00\x00", dim=4)
+
+
+def test_jpeg_fill_bytes_in_entropy_data():
+    """T.81 B.1.1.2 also applies inside the scan: fill bytes may
+    precede a restart marker or the EOI; _split_segments must treat
+    FF FF+ <marker> as fill, not as the scan terminator."""
+    import numpy as np
+
+    from recordlinker_spark.operators.jpeg import decode_jpeg_gray
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    buf = _encode_jpeg(img, restart_interval=1)
+    base = decode_jpeg_gray(buf)[2]
+    # one fill byte before the first RST0 and two before the EOI
+    patched = buf.replace(b"\xff\xd0", b"\xff\xff\xd0", 1)
+    patched = patched[:-2] + b"\xff\xff" + b"\xff\xd9"
+    w, h, gray = decode_jpeg_gray(patched)
+    assert (w, h) == (16, 16)
+    assert np.array_equal(gray, base)
+
+
+def test_mp3_id3v24_footer():
+    """An ID3v2.4 tag with the footer flag (0x10) is 10 bytes longer
+    than header+size; the frame walk must skip the footer too."""
+    from recordlinker_spark.operators.media import _decode_mp3
+
+    body = _mp3_cbr(12)
+    pad = 30
+    tag = b"ID3" + b"\x04\x00" + b"\x10" + bytes(
+        [0, 0, (pad >> 7) & 0x7F, pad & 0x7F]
+    ) + b"\x00" * pad + b"3DI" + b"\x04\x00" + b"\x10" + bytes(
+        [0, 0, (pad >> 7) & 0x7F, pad & 0x7F]
+    )
+    out = _decode_mp3(tag + body, dim=4)
+    assert out["sample_rate"] == 44100
+    assert abs(out["duration"] - 12 * 1152 / 44100) < 1e-9

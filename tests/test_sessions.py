@@ -228,8 +228,8 @@ def test_cross_batch_late_event_contract():
 
     class _State:
         exists = True
-        # (seq, start, end, n_events, n_nonnull, sum_micros, prev_end)
-        get = (3, T, T + 60_000_000, 2, 2, 5_000_000, PREV_END)
+        # (seq, start, end, n_events, sum_micros, prev_end)
+        get = (3, T, T + 60_000_000, 2, 5_000_000, PREV_END)
 
         def update(self, v):
             self.val = v
@@ -263,4 +263,4 @@ def test_cross_batch_late_event_contract():
     assert out.iloc[0]["session_seq"] == 3  # takes the stored ordinal
     st_seq, st_start = st.val[0], st.val[1]
     assert st_seq == 4 and st_start == T  # open session renumbered after
-    assert st.val[6] == T - 3 * gap  # guard anchor advanced
+    assert st.val[5] == T - 3 * gap  # guard anchor advanced
