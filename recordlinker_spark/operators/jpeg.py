@@ -12,7 +12,7 @@ dequantized and inverse-transformed — chroma blocks are still
 entropy-decoded (the bitstream interleaves them) but their
 coefficients are discarded, skipping their IDCTs.  Progressive
 (SOF2), arithmetic-coded, hierarchical, and 12-bit frames raise
-``ValueError`` and stay behind the codec gate.
+``NotImplementedError`` and stay behind the codec gate.
 
 Payloads at this stage are thumbnails/metadata-scale; the entropy
 decode is per-bit Python and documented as such — full-rate decode is
@@ -199,7 +199,9 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline-decodable
             precision = data[0]
             if precision != 8:
-                raise ValueError(f"unsupported JPEG precision {precision}")
+                raise NotImplementedError(
+                    f"unsupported JPEG precision {precision}"
+                )
             height, width = struct.unpack_from(">HH", data, 1)
             ncomp = data[5]
             comps = []
@@ -209,7 +211,7 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
             frame = (width, height, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError(
+            raise NotImplementedError(
                 "unsupported JPEG process (progressive/arithmetic/"
                 "hierarchical) — only baseline sequential is decoded"
             )

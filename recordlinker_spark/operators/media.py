@@ -5,11 +5,11 @@ The input documents interleave media spans (``kind='media'``,
 a training-data pipeline needs to move, decode, and featurize them.
 This module provides the Spark-side plumbing — schemas, partitioning,
 batch shapes — plus REAL pure-stdlib decoders for BMP, 8-bit PNG,
-baseline JPEG (operators/jpeg.py), binary PGM/PPM, PCM WAV, and MPEG
-audio metadata (frame-header walk: exact CBR/VBR duration, sample
-rate, channels, bitrate envelope).  Only formats that genuinely need
-a codec library this container lacks (progressive JPEG, MP3 PCM
-synthesis, video) stay stubbed: ``decode_features`` raises
+baseline JPEG (operators/jpeg.py), GIF (LZW, incl. interlaced),
+binary PGM/PPM, PCM WAV, and MPEG audio metadata (frame-header walk:
+exact CBR/VBR duration, sample rate, channels, bitrate envelope).
+Only formats that genuinely need a codec library this container lacks
+(progressive JPEG, MP3 PCM synthesis, video) stay stubbed: ``decode_features`` raises
 ``NotImplementedError`` for them unless ``fake=True``, which
 substitutes a deterministic synthetic decode so the distributed path
 is fully testable.
@@ -150,7 +150,9 @@ def _decode_bmp(buf: bytes, dim: int) -> dict:
     bpp = struct.unpack_from("<H", buf, 28)[0]
     compression = struct.unpack_from("<I", buf, 30)[0]
     if compression != 0 or bpp not in (8, 24, 32) or width <= 0 or height == 0:
-        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+        raise NotImplementedError(
+            f"unsupported BMP variant (bpp={bpp}, comp={compression})"
+        )
     flip = height > 0  # positive height = bottom-up row order
     height = abs(height)
     row_bytes = ((bpp * width + 31) // 32) * 4
@@ -301,12 +303,12 @@ def _decode_png(buf: bytes, dim: int) -> dict:
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     if bit_depth != 8 or interlace != 0:
-        raise ValueError(
+        raise NotImplementedError(
             f"unsupported PNG (bit_depth={bit_depth}, interlace={interlace})"
         )
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if nch is None:
-        raise ValueError(f"unsupported PNG color type {color_type}")
+        raise NotImplementedError(f"unsupported PNG color type {color_type}")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG without PLTE")
     row_bytes = width * nch
@@ -330,6 +332,124 @@ def _decode_png(buf: bytes, dim: int) -> dict:
         "height": height,
         "feature": _pool(gray.ravel() / 255.0, dim),
     }
+
+
+def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """GIF-variant LZW decode (GIF89a spec appendix F): variable code
+    width starting at ``min_code_size + 1``, LSB-first bit packing,
+    CLEAR/END control codes, dictionary growth capped at 12 bits
+    (deferred-clear streams keep reading 12-bit codes)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < max_pixels:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("corrupt GIF LZW stream (bad first code)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream (code gap)")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def _decode_gif(buf: bytes, dim: int) -> dict:
+    """GIF87a/89a via a pure-stdlib LZW decode: logical screen +
+    color-table walk, first image frame only (animation frames after
+    the first are ignored — the feature stage wants one raster), both
+    sequential and interlaced row order.  Same grayscale convention as
+    the other image branches: palette channel mean."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _sw, _sh, packed = struct.unpack_from("<HHB", buf, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks to terminator
+            pos += 1
+            while pos < len(buf) and buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos)
+            pos += 9
+            ct = gct
+            if ipacked & 0x80:  # local color table overrides
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            min_code_size = buf[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(buf) and buf[pos] != 0:
+                ln = buf[pos]
+                data += buf[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            pixels = _gif_lzw(bytes(data), min_code_size, w * h)
+            if len(pixels) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            idx = np.frombuffer(
+                bytes(pixels[: w * h]), np.uint8
+            ).reshape(h, w)
+            if ipacked & 0x40:
+                # interlaced: stored rows are the 4 passes in order;
+                # scatter them back to their image positions
+                order = [
+                    r
+                    for step, start in ((8, 0), (8, 4), (4, 2), (2, 1))
+                    for r in range(start, h, step)
+                ]
+                deinterlaced = np.empty_like(idx)
+                deinterlaced[order] = idx
+                idx = deinterlaced
+            if int(idx.max(initial=0)) >= ct.shape[0]:
+                raise ValueError("GIF color index out of range")
+            gray = ct.astype(np.float32).mean(axis=1)[idx]
+            return {
+                "width": int(w),
+                "height": int(h),
+                "feature": _pool(gray.ravel() / 255.0, dim),
+            }
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
 
 
 def _decode_jpeg(buf: bytes, dim: int) -> dict:
@@ -357,7 +477,7 @@ def _decode_wav(buf: bytes, dim: int) -> dict:
         raw = w.readframes(n)
     dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
     if dtype is None:
-        raise ValueError(f"unsupported WAV sample width {sw}")
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
     samples = np.frombuffer(raw, dtype).astype(np.float32)
     if sw == 1:
         samples -= 128.0
@@ -424,14 +544,27 @@ def _mp3_frame(buf: bytes, pos: int) -> tuple[int, int, int, int, int] | None:
     return flen, samples, rate, channels, kbps
 
 
+def _sniff_mp3(buf: bytes) -> bool:
+    """True iff ``buf`` starts with a headerless MPEG audio stream.
+    One plausible 4-byte header is not enough (~1 in a few thousand
+    random 0xFF-prefixed payloads parses): require the first frame to
+    either fill the payload exactly or be followed by a second valid
+    header — fabricated payloads essentially never chain two."""
+    hdr = _mp3_frame(buf, 0)
+    if hdr is None or hdr[0] <= 4 or hdr[0] > len(buf):
+        return False
+    return hdr[0] == len(buf) or _mp3_frame(buf, hdr[0]) is not None
+
+
 def _decode_mp3(buf: bytes, dim: int) -> dict:
     """MPEG audio (MP3) metadata via a pure-stdlib frame-header walk:
     skip any ID3v2 tag, then step frame to frame summing each frame's
     sample count / sample rate into an exact duration (correct for
-    both CBR and VBR streams).  The feature is the per-frame bitrate
-    envelope pooled to ``dim`` and scaled by the 448 kbps format
-    maximum — real stream structure (a VBR encoder's rate profile),
-    not decoded PCM; full PCM synthesis stays codec-gated."""
+    both CBR and VBR streams; a leading Xing/Info/VBRI metadata frame
+    carries no audio and is excluded).  The feature is the per-frame
+    bitrate envelope pooled to ``dim`` and scaled by the 448 kbps
+    format maximum — real stream structure (a VBR encoder's rate
+    profile), not decoded PCM; full PCM synthesis stays codec-gated."""
     pos = 0
     if buf[:3] == b"ID3":
         if len(buf) < 10:
@@ -443,6 +576,7 @@ def _decode_mp3(buf: bytes, dim: int) -> dict:
     kbps_seq: list[float] = []
     duration = 0.0
     rate = channels = None
+    first = True
     while pos + 4 <= len(buf):
         hdr = _mp3_frame(buf, pos)
         if hdr is None:
@@ -452,9 +586,18 @@ def _decode_mp3(buf: bytes, dim: int) -> dict:
             break                    # degenerate header; refuse to loop
         if rate is None:
             rate, channels = r, ch
+        frame = buf[pos:pos + flen]
+        pos += flen
+        if first:
+            first = False
+            # a LAME/FFmpeg-style Xing/Info/VBRI first frame is
+            # encoder metadata, not audio: advance past it but keep it
+            # out of the duration and the bitrate envelope
+            if (b"Xing" in frame or b"Info" in frame
+                    or b"VBRI" in frame):
+                continue
         kbps_seq.append(float(kbps))
         duration += samples / r
-        pos += flen
     if not kbps_seq:
         raise ValueError("no MPEG audio frames found")
     env = _pool(np.asarray(kbps_seq, dtype=np.float32) / 448.0, dim)
@@ -477,11 +620,13 @@ def _decode_payload(payload: bytes, dim: int) -> dict | None:
         return _decode_png(payload, dim)
     if payload[:3] == b"\xff\xd8\xff":
         return _decode_jpeg(payload, dim)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload, dim)
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload, dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload, dim)
-    if payload[:3] == b"ID3" or _mp3_frame(payload, 0) is not None:
+    if payload[:3] == b"ID3" or _sniff_mp3(payload):
         return _decode_mp3(payload, dim)
     return None
 
@@ -492,7 +637,8 @@ def decode_features(
     """``mapInPandas`` decode -> fixed-dim feature vector + metadata.
 
     Real decoders (pure stdlib + numpy, no codec libraries): BMP,
-    8-bit non-interlaced PNG, baseline JPEG (luma-plane decode), and
+    8-bit non-interlaced PNG, baseline JPEG (luma-plane decode), GIF
+    (first frame, incl. interlaced), and
     binary PGM/PPM images -> width/height + a mean-pooled grayscale
     vector; PCM WAV audio -> duration/sample_rate/channels + an RMS
     energy envelope; MPEG audio (MP3) -> exact frame-walk duration/

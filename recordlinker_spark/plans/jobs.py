@@ -47,7 +47,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from recordlinker_spark.config import Algorithm, dibbs_default
-from recordlinker_spark.plans.replay import MPI_SCHEMA, mpi_projection
+from recordlinker_spark.plans.replay import (
+    MPI_SCHEMA,
+    attach_external_person_id,
+    mpi_projection,
+)
 from recordlinker_spark.sinks.catalog import TableTarget
 from recordlinker_spark.sources.ingest import parse_documents
 
@@ -115,29 +119,17 @@ def _widen_to_mpi_schema(df: DataFrame) -> DataFrame:
     columns) would fail downstream column selects.  Reads tolerate old
     tables; APPENDS of the widened frame still require the one-time
     ``ALTER TABLE ... ADD COLUMNS`` migration Iceberg schema evolution
-    is built for — that failure is loud, never wrong-results."""
+    is built for — that failure is loud, never wrong-results.
+
+    Deliberately NOT replay.mpi_projection, despite the overlap: that
+    is the INSERT normalizer (derives source='IRIS' from a present id,
+    casts caller columns to the declared types — both wrong on a read
+    path, where stored rows must come back exactly as stored and a
+    type drift in the table should fail loudly, not be cast over)."""
     for f in MPI_SCHEMA.fields:
         if f.name not in df.columns:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
     return df
-
-
-def _attach_external_person_id(records: DataFrame, docs: DataFrame) -> DataFrame:
-    """Batch analog of the link request's optional external_person_id
-    (reference schemas/link.py:29-33): when the documents table carries
-    the column, ride it along into the MPI insert.  Shared by the
-    plain and --run-dir link paths — the two modes of the SAME CLI job
-    must not diverge (e.g. NULL external ids only under --run-dir)."""
-    if "external_person_id" not in docs.columns:
-        return records
-    return records.join(
-        docs.select(
-            F.col("doc_id").alias("record_id"),
-            "external_person_id",
-        ),
-        "record_id",
-        "left",
-    )
 
 
 def _read_mpi_t(spark: SparkSession, target: TableTarget) -> DataFrame:
@@ -234,7 +226,7 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
         records = parse_fhir_bundles(bundles)
     else:
         docs_df = spark.read.parquet(args.documents)
-        records = _attach_external_person_id(parse_documents(docs_df), docs_df)
+        records = parse_documents(docs_df)
     mpi = _read_mpi_t(spark, target)
     # cache_intermediate only when a SECOND consumer of the
     # blocking+scoring DAG exists (the MPI append and/or the FHIR
@@ -255,7 +247,14 @@ def job_link(spark: SparkSession, args, persist: bool = True) -> None:
                 bundles, spark.read.parquet(args.out), records
             ).write.mode("overwrite").parquet(args.out.rstrip("/") + ".fhir")
         if persist:
-            target.append(mpi_projection(out.new_patients))
+            new_patients = out.new_patients
+            if not fhir_mode:
+                # attach here, at the append, like the --run-dir and
+                # streaming paths: only the MPI insert needs the column
+                new_patients = attach_external_person_id(
+                    new_patients, docs_df
+                )
+            target.append(mpi_projection(new_patients))
     finally:
         # release even when a write raises: a long-lived driver that
         # catches and retries would otherwise accumulate cached
@@ -292,7 +291,7 @@ def _job_link_checkpointed(
         def append_new_patients():
             import os
 
-            records = _attach_external_person_id(
+            records = attach_external_person_id(
                 spark.read.parquet(
                     os.path.join(run_dir, "ingest")
                 ).drop("_part_id"),

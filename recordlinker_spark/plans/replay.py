@@ -72,6 +72,33 @@ def mpi_projection(df: DataFrame) -> DataFrame:
     )
 
 
+def attach_external_person_id(records: DataFrame, docs: DataFrame) -> DataFrame:
+    """Batch analog of the link request's optional external_person_id
+    (reference schemas/link.py:29-33): when the documents table carries
+    the column, ride it along into the MPI insert.  Shared by the
+    plain, --run-dir, and streaming link paths — the modes of the SAME
+    logical job must not diverge (e.g. NULL external ids only under
+    --run-dir or only via the stream).  Join at the MPI-append site,
+    not upstream of the linking DAG: only the insert needs the column,
+    and an upstream join would be recomputed in every blocking/scoring
+    branch."""
+    from pyspark.sql import functions as F
+
+    if (
+        "external_person_id" not in docs.columns
+        or "external_person_id" in records.columns
+    ):
+        return records
+    return records.join(
+        docs.select(
+            F.col("doc_id").alias("record_id"),
+            "external_person_id",
+        ),
+        "record_id",
+        "left",
+    )
+
+
 @dataclasses.dataclass
 class ReplayStep:
     record_id: str

@@ -38,7 +38,11 @@ from pyspark.sql import functions as F
 
 from recordlinker_spark.config import Algorithm
 from recordlinker_spark.operators.linkjob import link_batch
-from recordlinker_spark.plans.replay import MPI_SCHEMA, mpi_projection
+from recordlinker_spark.plans.replay import (
+    MPI_SCHEMA,
+    attach_external_person_id,
+    mpi_projection,
+)
 from recordlinker_spark.sources.ingest import parse_documents
 
 
@@ -220,9 +224,12 @@ class IncrementalLinker:
                 out.decisions.write.mode("overwrite").parquet(
                     self._batch_dir(batch_id)
                 )
-                mpi_projection(out.new_patients).write.mode(
-                    "append"
-                ).parquet(self.mpi_dir)
+                # same external_person_id passthrough as the batch CLI
+                # paths — the stream must not be the one insert mode
+                # that silently writes NULL external ids
+                mpi_projection(
+                    attach_external_person_id(out.new_patients, batch_docs)
+                ).write.mode("append").parquet(self.mpi_dir)
         finally:
             # unpersist() can't reach everything: the salted blocking
             # path localCheckpoints its sampled census

@@ -364,7 +364,7 @@ def test_png_unsupported_variants_stay_gated(spark):
         buf = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                + chunk(b"IDAT", zl.compress(b"\x00" * 12))
                + chunk(b"IEND", b""))
-        with pytest.raises(ValueError):
+        with pytest.raises(NotImplementedError):
             _decode_png(buf, dim=4)
 
 
@@ -563,7 +563,7 @@ def test_jpeg_progressive_stays_gated():
     sof = st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     buf = (b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 2 + len(sof)) + sof
            + b"\xff\xd9")
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg_gray(buf)
 
 
@@ -717,3 +717,217 @@ def test_mp3_id3v24_footer():
     out = _decode_mp3(tag + body, dim=4)
     assert out["sample_rate"] == 44100
     assert abs(out["duration"] - 12 * 1152 / 44100) < 1e-9
+
+
+def test_mp3_sniff_rejects_single_plausible_header():
+    """A fabricated payload whose first 4 bytes parse as one MPEG
+    frame header must not dispatch to the MP3 decoder: the sniff
+    requires the first frame to chain to a second valid header (or
+    fill the payload exactly)."""
+    from recordlinker_spark.operators.media import (
+        _decode_payload,
+        _sniff_mp3,
+    )
+
+    # FF FB 90 00 = valid MPEG-1 L3 128kbps header, then garbage that
+    # does not contain a second header at the 417-byte frame boundary
+    fake = b"\xff\xfb\x90\x00" + b"\x01" * 600
+    assert not _sniff_mp3(fake)
+    assert _decode_payload(fake, 4) is None
+    # a single frame filling the payload exactly IS accepted
+    assert _sniff_mp3(_mp3_cbr(1))
+    # and chained frames are accepted
+    assert _sniff_mp3(_mp3_cbr(3) + b"junk")
+
+
+def test_mp3_xing_header_frame_excluded():
+    """A LAME/FFmpeg Xing/Info first frame is encoder metadata with no
+    audio: it must not contribute to duration or the envelope."""
+    from recordlinker_spark.operators.media import _decode_mp3
+
+    frames = _mp3_cbr(10)
+    flen = len(frames) // 10
+    xing = bytearray(frames[:flen])
+    xing[36:40] = b"Xing"  # side-info offset for MPEG-1 stereo
+    buf = bytes(xing) + frames
+    out = _decode_mp3(buf, dim=4)
+    assert abs(out["duration"] - 10 * 1152 / 44100) < 1e-9
+    assert all(abs(f - 128 / 448) < 1e-6 for f in out["feature"])
+
+
+def test_streaming_sink_persists_external_person_id(spark, tmp_path):
+    """The streaming MPI insert path must carry a document-level
+    external_person_id like the batch CLI paths — the stream must not
+    be the one insert mode that writes NULL external ids."""
+    from recordlinker_spark.streaming.incremental import IncrementalLinker
+
+    mpi_dir = str(tmp_path / "mpi")
+    dec_dir = str(tmp_path / "dec")
+    sink = IncrementalLinker(
+        spark, mpi_dir, dec_dir, dibbs_default(), run_id="t"
+    )
+    batch = spark.createDataFrame(
+        docs_to_rows([("s0", SIX_PATIENTS[0], [])]), DOCUMENTS_SCHEMA
+    ).withColumn("external_person_id", F.lit("EXT-STREAM-1"))
+    sink(batch, 0)
+
+    (row,) = spark.read.parquet(mpi_dir).collect()
+    assert row["record_id"] == "s0"
+    assert row["external_person_id"] == "EXT-STREAM-1"
+    assert row["external_person_source"] == "IRIS"
+
+    # a plain docs batch (no column) still inserts with NULLs
+    batch2 = spark.createDataFrame(
+        docs_to_rows([("s1", SIX_PATIENTS[2], [])]), DOCUMENTS_SCHEMA
+    )
+    sink(batch2, 1)
+    rows = {r["record_id"]: r for r in spark.read.parquet(mpi_dir).collect()}
+    assert rows["s1"]["external_person_id"] is None
+    assert rows["s1"]["external_person_source"] is None
+
+
+# ----------------------------------------------------------------- GIF
+
+def _encode_gif(indices, palette, interlace=False):
+    """Minimal GIF89a writer (test fixture): no-compression LZW (a
+    CLEAR code after every pixel keeps the dictionary empty and the
+    code width fixed), optional interlaced row order."""
+    import struct as st
+
+    h, w = indices.shape
+    mcs = 2
+    while (1 << mcs) < len(palette):
+        mcs += 1
+    clear, end, code_size = 1 << mcs, (1 << mcs) + 1, mcs + 1
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", w, h, 0x80 | (mcs - 1), 0, 0)
+    for r, g, b in palette:
+        out += bytes([r, g, b])
+    out += st.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(mcs)
+    rows = list(range(h))
+    if interlace:
+        rows = [r for step, start in ((8, 0), (8, 4), (4, 2), (2, 1))
+                for r in range(start, h, step)]
+    bitbuf = nbits = 0
+    data = bytearray()
+
+    def emit(code):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            data.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for r in rows:
+        for px in indices[r]:
+            emit(int(px))
+            emit(clear)
+    emit(end)
+    if nbits:
+        data.append(bitbuf & 0xFF)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decoder_round_trip():
+    import numpy as np
+
+    from recordlinker_spark.operators.media import _decode_gif
+
+    rng = np.random.RandomState(9)
+    palette = [(i * 17 % 256, i * 29 % 256, i * 53 % 256) for i in range(8)]
+    idx = rng.randint(0, 8, size=(11, 7)).astype(np.uint8)
+    for interlace in (False, True):
+        out = _decode_gif(_encode_gif(idx, palette, interlace), dim=4)
+        assert (out["width"], out["height"]) == (7, 11)
+        gray = np.array([sum(c) / 3 for c in palette], dtype=np.float32)
+        want = float(gray[idx].mean() / 255.0)
+        got = sum(out["feature"]) / 4
+        assert abs(got - want) < 1e-3
+
+
+def test_gif_real_lzw_dictionary_growth():
+    """A genuinely LZW-compressed stream (single CLEAR, growing
+    dictionary, code-width increments) decodes correctly: exercises
+    the code==len(table) self-reference case and deferred widening."""
+    import numpy as np
+
+    from recordlinker_spark.operators.media import _gif_lzw
+
+    idx = np.tile(np.arange(4, dtype=np.uint8), 64)  # 0123 0123 ...
+    mcs, clear, end = 2, 4, 5
+
+    # textbook LZW encoder producing the code stream
+    table = {bytes([i]): i for i in range(4)}
+    next_code = 6
+    codes, cur = [], b""
+    for px in idx.tolist():
+        nxt = cur + bytes([px])
+        if nxt in table:
+            cur = nxt
+        else:
+            codes.append(table[cur])
+            table[nxt] = next_code
+            next_code += 1
+            cur = bytes([px])
+    codes.append(table[cur])
+    stream = [clear] + codes + [end]
+
+    # pack bits LSB-first, widening exactly when the DECODER's table
+    # (which lags the encoder's by one entry) hits the width limit
+    bitbuf = nbits = 0
+    data = bytearray()
+    code_size, dec_table, prev_seen = mcs + 1, 6, False
+    for c in stream:
+        bitbuf |= c << nbits
+        nbits += code_size
+        while nbits >= 8:
+            data.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+        if c == clear:
+            code_size, dec_table, prev_seen = mcs + 1, 6, False
+            continue
+        if c == end:
+            break
+        if prev_seen:
+            dec_table += 1
+            if dec_table == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev_seen = True
+    if nbits:
+        data.append(bitbuf & 0xFF)
+
+    got = _gif_lzw(bytes(data), mcs, len(idx))
+    assert bytes(got) == idx.tobytes()
+
+
+def test_gif_end_to_end_real_fetch(spark, tmp_path):
+    import numpy as np
+
+    from recordlinker_spark.operators.media import decode_features, fetch_payloads
+
+    rng = np.random.RandomState(4)
+    palette = [(v, v, v) for v in range(0, 256, 16)]
+    idx = rng.randint(0, len(palette), size=(6, 9)).astype(np.uint8)
+    (tmp_path / "g.gif").write_bytes(_encode_gif(idx, palette))
+    refs = spark.createDataFrame(
+        [("d1", 0, str(tmp_path / "g.gif"), "image")],
+        "doc_id string, media_idx int, media_ref string, media_type string",
+    )
+    (row,) = decode_features(
+        fetch_payloads(refs, fake=False), dim=8, fake=False
+    ).collect()
+    assert (row["width"], row["height"]) == (9, 6)
+    gray = np.array([v for v, _, _ in palette], dtype=np.float32)
+    # mean-of-segment-means, not the global mean: 54 px / 8 bins pool
+    # unevenly, so compare at the same tolerance as the JPEG twin
+    assert abs(sum(row["feature"]) / 8 - gray[idx].mean() / 255.0) < 0.02
